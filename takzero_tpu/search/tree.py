@@ -1,0 +1,119 @@
+"""SoA array-of-trees storage for batched MCTS.
+
+Replaces the reference's pointer tree (takzero/src/search/node/mod.rs:14-23)
+with fixed-shape arrays so the whole search lives on device:
+
+* an *expanded-node pool* ``[B, M]`` holding, per node, its environment
+  state, parent pointer and parent child-slot — only nodes that have been
+  evaluated and expanded occupy a pool slot (node 0 is always the root);
+* per-node *child slots* ``[B, M, C]`` holding edge statistics for up to C
+  children (action id, logit, prior, visit count, eval triple, std-dev,
+  child node index).  A node's own statistics live in its parent's child
+  slot; root statistics are separate ``[B]`` arrays.
+
+If a position has more than C legal moves, the top C by prior logit are
+kept and the node is marked *incomplete*: the exact solver may still prove
+wins through it (one losing child suffices) but never losses/draws (which
+would require exhaustiveness).  C >= max branching gives exact reference
+semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..tak.engine import TakEngine
+from ..tak.state import TakState
+
+
+class Tree(NamedTuple):
+    # Expanded-node pool [B, M]
+    node_parent: jnp.ndarray
+    node_slot: jnp.ndarray
+    node_incomplete: jnp.ndarray  # bool: children truncated to C
+    node_env: TakState  # leaves have leading [B, M]
+    node_count: jnp.ndarray  # [B]
+    # Child slots [B, M, C]
+    child_action: jnp.ndarray  # -1 = unused slot
+    child_logit: jnp.ndarray
+    child_prob: jnp.ndarray
+    child_visit: jnp.ndarray
+    child_flag: jnp.ndarray  # eval triple of the child node (child's POV)
+    child_ply: jnp.ndarray
+    child_value: jnp.ndarray
+    child_std: jnp.ndarray
+    child_node: jnp.ndarray  # expanded-node index, -1 = unexpanded
+    # Root statistics [B]
+    root_visit: jnp.ndarray
+    root_flag: jnp.ndarray
+    root_ply: jnp.ndarray
+    root_value: jnp.ndarray
+    root_std: jnp.ndarray
+    # Diagnostics [B]
+    overflow: jnp.ndarray  # pool-full or depth-clip events
+
+    @property
+    def batch_size(self) -> int:
+        return self.child_visit.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.child_visit.shape[1]
+
+    @property
+    def max_children(self) -> int:
+        return self.child_visit.shape[2]
+
+    def root_expanded(self) -> jnp.ndarray:
+        return self.child_action[:, 0, 0] >= 0
+
+
+def init_tree(
+    eng: TakEngine, root_envs: TakState, max_nodes: int, max_children: int
+) -> Tree:
+    """Fresh trees for a batch of root environments ([B]-leading pytree)."""
+    del eng
+    b = root_envs.ply.shape[0]
+    m, c = max_nodes, max_children
+
+    def tile_env(x):
+        return jnp.broadcast_to(x[:, None], (b, m) + x.shape[1:])
+
+    zf = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+    zi = lambda *s: jnp.zeros(s, jnp.int32)  # noqa: E731
+    return Tree(
+        node_parent=jnp.full((b, m), -1, jnp.int32),
+        node_slot=jnp.full((b, m), -1, jnp.int32),
+        node_incomplete=jnp.zeros((b, m), bool),
+        node_env=jax.tree.map(tile_env, root_envs),
+        node_count=jnp.ones((b,), jnp.int32),  # node 0 reserved for the root
+        child_action=jnp.full((b, m, c), -1, jnp.int32),
+        child_logit=zf(b, m, c),
+        child_prob=zf(b, m, c),
+        child_visit=zi(b, m, c),
+        child_flag=zi(b, m, c),
+        child_ply=zi(b, m, c),
+        child_value=zf(b, m, c),
+        child_std=zf(b, m, c),
+        child_node=jnp.full((b, m, c), -1, jnp.int32),
+        root_visit=zi(b),
+        root_flag=zi(b),
+        root_ply=zi(b),
+        root_value=zf(b),
+        root_std=zf(b),
+        overflow=zi(b),
+    )
+
+
+def reset_lanes(tree: Tree, mask: jnp.ndarray, new_envs: TakState) -> Tree:
+    """Reset trees where `mask` is set, installing `new_envs` as roots."""
+    fresh = init_tree(None, new_envs, tree.max_nodes, tree.max_children)
+
+    def pick(new, old):
+        m = mask.reshape((-1,) + (1,) * (old.ndim - 1))
+        return jnp.where(m, new, old)
+
+    return jax.tree.map(pick, fresh, tree)

@@ -1,8 +1,10 @@
 import os
 
-# Tests run on a virtual multi-device CPU so sharding paths are exercised
-# without TPU hardware (see repo instructions).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests run on a virtual multi-device CPU mesh so sharding paths are
+# exercised without TPU hardware.  Note JAX_PLATFORMS=axon is preset in the
+# environment (remote TPU tunnel) — it MUST be overridden here, otherwise
+# every eager op becomes a network round trip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
