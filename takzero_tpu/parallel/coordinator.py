@@ -1,0 +1,92 @@
+"""Shared-filesystem actor-learner coordination protocol.
+
+The reference's cluster has no RPC layer: processes coordinate through a
+shared directory (SURVEY.md §5.8).  This module implements that protocol —
+append-only target/replay files tailed via persistent seek offsets, a
+checksummed ``buffer_lengths.txt`` for backpressure, and model files
+handled by utils/ckpt.py — so a fleet of independent selfplay / reanalyze
+/ learn processes (one TPU chip each, or sharded groups) composes exactly
+like the reference's 1+10+10 deployment (README.md:128-135).
+
+File names match the reference: ``targets-selfplay.txt``,
+``targets-reanalyze.txt``, ``replays.txt``, ``replays-exploration.txt``,
+``buffer_lengths.txt``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+TARGETS_SELFPLAY = "targets-selfplay.txt"
+TARGETS_REANALYZE = "targets-reanalyze.txt"
+TARGETS_INITIAL = "targets-initial.txt"
+REPLAYS = "replays.txt"
+REPLAYS_EXPLORATION = "replays-exploration.txt"
+BUFFER_LENGTHS = "buffer_lengths.txt"
+
+
+def append_lines(directory, name: str, lines) -> None:
+    path = pathlib.Path(directory) / name
+    data = "".join(line.rstrip("\n") + "\n" for line in lines)
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(data)
+
+
+class Tailer:
+    """Incremental line reader with a persistent offset (learn:292-320)."""
+
+    def __init__(self, directory, name: str):
+        self.path = pathlib.Path(directory) / name
+        self.offset = 0
+
+    def read_new_lines(self) -> list[str]:
+        if not self.path.exists():
+            return []
+        with open(self.path, "r", encoding="utf-8") as f:
+            f.seek(self.offset)
+            data = f.read()
+            # Only consume complete lines (writers append whole lines).
+            last_nl = data.rfind("\n")
+            if last_nl < 0:
+                return []
+            self.offset += last_nl + 1
+            return data[: last_nl + 1].splitlines()
+
+
+def write_buffer_lengths(directory, selfplay: int, reanalyze: int) -> None:
+    """Truncate-rewrite with a sum checksum (learn:195-209)."""
+    path = pathlib.Path(directory) / BUFFER_LENGTHS
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(f"{selfplay},{reanalyze},{selfplay + reanalyze}")
+    tmp.replace(path)
+
+
+def read_buffer_lengths(directory) -> tuple[int, int] | None:
+    """Returns (selfplay, reanalyze) or None on missing/torn/bad checksum
+    (selfplay/src/main.rs:371-387)."""
+    path = pathlib.Path(directory) / BUFFER_LENGTHS
+    try:
+        parts = path.read_text().split(",")
+        s, r, c = (int(x) for x in parts[:3])
+    except (OSError, ValueError):
+        return None
+    if s + r != c:
+        return None
+    return s, r
+
+
+def wait_for_backpressure(
+    directory, max_buffer: int, which: int = 0, poll_seconds: float = 1.0,
+    max_wait: float | None = None,
+) -> None:
+    """Sleep while our buffer is over `max_buffer` (selfplay:93-104)."""
+    waited = 0.0
+    while True:
+        lengths = read_buffer_lengths(directory)
+        if lengths is None or lengths[which] <= max_buffer:
+            return
+        time.sleep(poll_seconds)
+        waited += poll_seconds
+        if max_wait is not None and waited >= max_wait:
+            return

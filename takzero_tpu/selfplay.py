@@ -1,0 +1,251 @@
+"""Selfplay engine: device-side move generation + host-side target assembly.
+
+Replaces the reference's selfplay actor core (selfplay/src/main.rs) with a
+single jitted per-move program over the whole game batch:
+
+* Gumbel sequential halving (k sampled actions, fixed budget);
+* weighted-random selection for the first `weighted_random_plies` plies
+  (proportional to visits, threshold 32, eval-drop 0.5; main.rs:145-153);
+* improved-policy extraction with the reference's closed-form visitation
+  count (main.rs:47-52), UBE target, chosen action;
+* stepping + terminal detection + fresh random openings for finished games.
+
+The host keeps only per-game pending-target lists and replays, and
+back-fills discounted terminal values when a game ends (main.rs:263-329).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.target import Replay, Target
+from .search import eval as ev
+from .search.gumbel import make_gumbel_search, sh_schedule
+from .search.openings import make_new_opening
+from .search.policy import (
+    improved_policy,
+    select_selfplay_slot,
+    slot_action,
+    ube_target,
+)
+from .search.tree import init_tree
+from .tak import state_to_tps
+from .tak.engine import TakEngine
+
+
+@dataclass(frozen=True)
+class SelfplayConfig:
+    batch: int = 128
+    beta: float = 0.25
+    exploration: bool = False  # beta on the first half of the batch
+    weighted_random_plies: int = 10
+    sampled_actions: int = 64
+    search_budget: int = 768
+    max_children: int = 128
+    max_depth: int = 48
+    discount: float = ev.DISCOUNT
+
+    @property
+    def max_nodes(self) -> int:
+        return self.search_budget + 8
+
+    @property
+    def improved_policy_visitations(self) -> float:
+        # budget/log2(k)/k * (2^log2(k) - 1)  (selfplay/src/main.rs:47-52)
+        _, _, _, cums = sh_schedule(self.sampled_actions, self.search_budget)
+        return float(cums[-1])
+
+    def betas(self) -> np.ndarray:
+        out = np.zeros(self.batch, np.float32)
+        if self.exploration:
+            out[: self.batch // 2] = self.beta
+        return out
+
+
+@dataclass
+class PendingTarget:
+    tps: str
+    policy: list  # [(action, prob)]
+    ube: float
+    ply: int
+
+
+@dataclass
+class GameLog:
+    start_tps: str
+    actions: list = field(default_factory=list)
+    pending: list = field(default_factory=list)
+
+
+class SelfplayEngine:
+    """Drives `batch` concurrent games; emits finished Targets/Replays."""
+
+    def __init__(self, eng: TakEngine, cfg: SelfplayConfig, evaluator_factory):
+        self.eng = eng
+        self.cfg = cfg
+        self._opening = make_new_opening(eng)
+        self._betas = jnp.asarray(cfg.betas())
+
+        def move_fn(envs, bundle, key):
+            evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
+            srch = make_gumbel_search(
+                eng, evaluator, cfg.sampled_actions, cfg.search_budget, cfg.max_depth
+            )
+            k_search, k_sample, k_open = jax.random.split(key, 3)
+            tree = init_tree(eng, envs, cfg.max_nodes, cfg.max_children)
+            tree, slot = srch(tree, k_search, self._betas)
+            weighted = envs.ply < cfg.weighted_random_plies
+            sp_slot = select_selfplay_slot(tree, k_sample)
+            slot = jnp.where(weighted, sp_slot, slot)
+            action = slot_action(tree, slot)
+
+            pol = improved_policy(tree, cfg.improved_policy_visitations)
+            child_actions = tree.child_action[:, 0, :]
+            ube = ube_target(tree, cfg.beta)
+
+            stepped = jax.vmap(eng.step)(envs, action.clip(0))
+            tk = jax.vmap(eng.terminal_kind)(stepped)  # from stepped POV
+            res = jax.vmap(eng.game_result)(stepped)  # winner color / draw
+            roads = jax.vmap(eng._roads)(stepped)  # [B, 2]
+            winner_road = jnp.take_along_axis(
+                roads, res.clip(0, 1)[:, None], axis=-1
+            )[:, 0]
+            fresh = self._opening(k_open, cfg.batch)
+            done = tk != 0
+            nxt = jax.tree.map(
+                lambda f, s: jnp.where(
+                    done.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+                ),
+                fresh,
+                stepped,
+            )
+            return nxt, action, pol, child_actions, ube, tk, res, winner_road
+
+        self._move = jax.jit(move_fn)
+        self.envs = None
+        self.logs: list[GameLog] = []
+
+    def reset(self, key):
+        self.envs = self._opening(key, self.cfg.batch)
+        host = jax.tree.map(np.asarray, self.envs)
+        self.logs = [
+            GameLog(start_tps=state_to_tps(self.eng.n, _lane(host, i)))
+            for i in range(self.cfg.batch)
+        ]
+
+    def play_move(self, bundle, key):
+        """One move in every game. Returns (targets, replays) completed."""
+        cfg = self.cfg
+        envs_before = jax.tree.map(np.asarray, self.envs)
+        nxt, action, pol, child_actions, ube, tk, res, road = self._move(
+            self.envs, bundle, key
+        )
+        self.envs = nxt
+        action = np.asarray(action)
+        pol = np.asarray(pol)
+        child_actions = np.asarray(child_actions)
+        ube = np.asarray(ube)
+        tk = np.asarray(tk)
+        res = np.asarray(res)
+        road = np.asarray(road)
+        nxt_host = jax.tree.map(np.asarray, nxt)
+        betas = cfg.betas()
+
+        targets: list[Target] = []
+        replays: list[Replay] = []
+        exploration_replays: list[Replay] = []
+        for i in range(cfg.batch):
+            log = self.logs[i]
+            state_i = _lane(envs_before, i)
+            policy_i = [
+                (int(a), float(p))
+                for a, p in zip(child_actions[i], pol[i])
+                if a >= 0
+            ]
+            log.pending.append(
+                PendingTarget(
+                    tps=state_to_tps(self.eng.n, state_i),
+                    policy=policy_i,
+                    ube=float(ube[i]),
+                    ply=int(state_i.ply),
+                )
+            )
+            log.actions.append(int(action[i]))
+            if tk[i] != 0:
+                t, r, er = self._complete_game(
+                    log, int(tk[i]), betas[i], int(res[i]), bool(road[i])
+                )
+                targets.extend(t)
+                replays.append(r)
+                if er is not None:
+                    exploration_replays.append(er)
+                self.logs[i] = GameLog(
+                    start_tps=state_to_tps(self.eng.n, _lane(nxt_host, i))
+                )
+        return targets, replays, exploration_replays
+
+    def _complete_game(
+        self, log: GameLog, terminal_kind: int, beta: float, res: int, road: bool
+    ):
+        """Back-fill discounted values (selfplay/src/main.rs:263-329)."""
+        cfg = self.cfg
+        n = self.eng.n
+        # Eval::from(terminal) at the final position, negated per ply back.
+        flag, ply = terminal_kind, 0
+        targets = []
+        for pend in reversed(log.pending):
+            flag, ply, _ = ev_negate_host(flag, ply)
+            value = ev_float_host(flag, ply, cfg.discount)
+            if beta == 0.0 or pend.ply > cfg.weighted_random_plies:
+                targets.append(
+                    Target(
+                        tps=pend.tps,
+                        value=value,
+                        ube=pend.ube,
+                        policy=pend.policy,
+                        n=n,
+                    )
+                )
+        result = _result_str(res, road)
+        replay = Replay(
+            tps=log.start_tps, actions=list(log.actions), result=result, n=n
+        )
+        exploration = None
+        if beta > 0.0:
+            exploration = Replay(
+                tps=log.start_tps,
+                actions=log.actions[: cfg.weighted_random_plies],
+                result="",
+                n=n,
+            )
+        return targets, replay, exploration
+
+
+def ev_negate_host(flag: int, ply: int):
+    if flag == ev.WIN:
+        return ev.LOSS, ply + 1, 0.0
+    if flag == ev.LOSS:
+        return ev.WIN, ply + 1, 0.0
+    return flag, ply + 1, 0.0
+
+
+def ev_float_host(flag: int, ply: int, discount: float) -> float:
+    sign = {ev.WIN: 1.0, ev.LOSS: -1.0, ev.DRAW: 0.0}[flag]
+    return sign * discount**ply
+
+
+def _result_str(res: int, road: bool) -> str:
+    """PTN result: R-0/0-R for roads, F-0/0-F for flats, 1/2-1/2 draws."""
+    if res == 2:
+        return "1/2-1/2"
+    if res == 0:
+        return "R-0" if road else "F-0"
+    return "0-R" if road else "0-F"
+
+
+def _lane(host_state, i: int):
+    return jax.tree.map(lambda x: x[i], host_state)

@@ -1,0 +1,98 @@
+"""Training step, losses, and pre-training targets.
+
+Loss exactly as the reference learner (learn/src/main.rs:375-423):
+
+* policy: cross entropy between the improved-policy target and the
+  move-masked log-softmax of the policy head, summed then / batch;
+* value: MSE against the discounted n-step return;
+* UBE: MSE in log-variance space, target clamped to [-10, ln 4]
+  (disabled during pre-training);
+* after each step the hash-novelty set is updated with the batch inputs.
+
+Data parallelism: `make_train_step` returns a step function that can be
+jitted plainly (single chip) or under `shard_map`/NamedSharding over a
+`dp` mesh axis — gradients are `psum`-ed over `dp` (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.agent import hash_update
+from ..models.network import MAXIMUM_VARIANCE, NetConfig, TakNet
+
+MINIMUM_UBE_TARGET = -10.0
+F32_MIN = jnp.finfo(jnp.float32).min
+
+
+class Batch(NamedTuple):
+    planes: jnp.ndarray  # [B, C, N, N]
+    policy: jnp.ndarray  # [B, A] target probabilities (zeros on illegal)
+    mask: jnp.ndarray  # [B, A] bool, True = legal
+    value: jnp.ndarray  # [B]
+    ube: jnp.ndarray  # [B] raw variance target (log+clamp applied here)
+
+
+def loss_fn(cfg: NetConfig, params, batch_stats, batch: Batch, train_ube: bool):
+    model = TakNet(cfg)
+    (policy, value, ube), mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch.planes,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    b = policy.shape[0]
+    masked = jnp.where(batch.mask, policy, F32_MIN)
+    logp = jax.nn.log_softmax(masked, axis=-1)
+    loss_policy = -jnp.sum(logp * batch.policy) / b
+    loss_value = jnp.mean((batch.value - value) ** 2)
+    target_ube = jnp.clip(
+        jnp.log(jnp.maximum(batch.ube, 1e-12)),
+        MINIMUM_UBE_TARGET,
+        jnp.log(MAXIMUM_VARIANCE),
+    )
+    loss_ube = jnp.mean((target_ube - ube) ** 2) if train_ube else 0.0
+    loss = loss_policy + loss_value + loss_ube
+    metrics = {
+        "loss": loss,
+        "loss_policy": loss_policy,
+        "loss_value": loss_value,
+        "loss_ube": jnp.asarray(loss_ube, jnp.float32),
+    }
+    return loss, (mutated["batch_stats"], metrics)
+
+
+def make_optimizer(learning_rate: float = 1e-4):
+    return optax.adam(learning_rate)  # reference: Adam lr=1e-4 (learn:122)
+
+
+def make_train_step(cfg: NetConfig, tx=None, axis_name: str | None = None):
+    """Build `train_step(bundle, opt_state, batch, train_ube) -> ...`.
+
+    With `axis_name` set, gradients and batch stats are averaged across
+    that mesh axis (for use under shard_map).
+    """
+    tx = tx or make_optimizer()
+
+    def train_step(bundle, opt_state, batch: Batch, train_ube: bool):
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(cfg, p, bundle["batch_stats"], batch, train_ube),
+            has_aux=True,
+        )
+        (_, (new_stats, metrics)), grads = grad_fn(bundle["params"])
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, bundle["params"])
+        params = optax.apply_updates(bundle["params"], updates)
+        bundle = {**bundle, "params": params, "batch_stats": new_stats}
+        if cfg.novelty in ("simhash", "lcghash"):
+            bundle = hash_update(cfg, bundle, batch.planes)
+        return bundle, opt_state, metrics
+
+    return train_step

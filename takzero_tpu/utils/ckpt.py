@@ -1,0 +1,105 @@
+"""Checkpointing with the reference's naming protocol.
+
+Mirrors takzero's model files (SURVEY.md §5.4): a mutable
+``model_latest.ckpt`` (every N steps) plus immutable ``model_{step:07}.ckpt``
+checkpoints; resume picks the highest-numbered one (learn/src/main.rs:
+107-120, 270-290).  Improvements over the reference: writes are atomic
+(tmp + rename), so readers never see torn files, and hash-novelty state is
+embedded in the checkpoint instead of a shared per-directory sidecar (the
+reference's bitvec.bin collides between checkpoints).
+
+Format: flax msgpack of the full bundle pytree.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import re
+import tempfile
+
+import jax
+import numpy as np
+from flax import serialization
+
+_STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
+
+
+def save_checkpoint(directory, name: str, bundle) -> pathlib.Path:
+    directory = pathlib.Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    host = jax.tree.map(np.asarray, bundle)
+    data = serialization.to_bytes(host)
+    path = directory / name
+    fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp_ckpt_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def save_latest_and_step(directory, step: int, bundle, steps_per_save=100,
+                         steps_per_checkpoint=50_000):
+    """Reference cadence: latest every `steps_per_save`, immutable every
+    `steps_per_checkpoint` (learn/src/main.rs:44-45)."""
+    wrote = []
+    if step % steps_per_save == 0:
+        wrote.append(save_checkpoint(directory, "model_latest.ckpt", bundle))
+    if step % steps_per_checkpoint == 0:
+        wrote.append(save_checkpoint(directory, f"model_{step:07d}.ckpt", bundle))
+    return wrote
+
+
+def load_checkpoint(path, template):
+    """Load into the structure of `template` (shapes must match)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(template, data)
+
+
+def load_checkpoint_partial(path, template):
+    """Best-effort load: missing/mismatched leaves keep template values.
+
+    The reference's `load_partial` (network/mod.rs:28-35) tolerates
+    architecture-mismatched checkpoints during evaluation.
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    def merge(tmpl, loaded):
+        if isinstance(tmpl, dict) and isinstance(loaded, dict):
+            return {
+                k: merge(tmpl[k], loaded[k]) if k in loaded else tmpl[k]
+                for k in tmpl
+            }
+        if loaded is None:
+            return tmpl
+        arr = np.asarray(loaded)
+        return arr if arr.shape == np.shape(tmpl) else tmpl
+
+    state = serialization.to_state_dict(template)
+    merged = merge(state, raw)
+    return serialization.from_state_dict(template, merged)
+
+
+def model_path_with_most_steps(directory):
+    """(step, path) of the highest-numbered checkpoint, or None."""
+    directory = pathlib.Path(directory)
+    best = None
+    if not directory.is_dir():
+        return None
+    for p in directory.iterdir():
+        m = _STEP_RE.search(p.name)
+        if m:
+            step = int(m.group(1))
+            if best is None or step > best[0]:
+                best = (step, p)
+    return best
+
+
+def latest_path(directory) -> pathlib.Path:
+    return pathlib.Path(directory) / "model_latest.ckpt"
