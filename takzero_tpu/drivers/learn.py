@@ -1,0 +1,189 @@
+"""Learner driver.
+
+Replaces the reference's learn binary (learn/src/main.rs): resume from the
+highest-step checkpoint (or fresh init + pre-training on random games),
+then loop: tail-read the two target files, publish buffer lengths, draw a
+64+64 batch (reanalyze joins after step 5000), augment, one optimizer
+step, save model_latest every 100 steps and an immutable checkpoint every
+50000.
+
+Usage:
+    python -m takzero_tpu.drivers.learn --directory DIR [--net ...]
+        [--restart-targets FILE] [--max-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..config import NET_PRESETS, LearnConfig
+from ..data.buffer import TargetBuffer
+from ..data.target import Target
+from ..models.agent import new_agent
+from ..parallel import coordinator as co
+from ..tak import engine
+from ..train.data import make_batch, random_pretraining_targets
+from ..train.learner import make_optimizer, make_train_step
+from ..utils import ckpt
+
+log = logging.getLogger("learn")
+
+
+def parse_targets(n, lines):
+    out = []
+    for line in lines:
+        try:
+            out.append(Target.from_line(n, line))
+        except Exception:  # skip malformed lines, as the reference does
+            continue
+    return out
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--directory", required=True)
+    parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
+    parser.add_argument("--restart-targets", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-steps", type=int, default=None, help="for tests")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--pretrain-targets", type=int, default=None)
+    parser.add_argument("--pretrain-steps", type=int, default=None)
+    parser.add_argument("--no-wait", action="store_true", help="for tests")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = LearnConfig(
+        batch_size=args.batch_size or LearnConfig.batch_size,
+        initial_random_targets=args.pretrain_targets
+        or LearnConfig.initial_random_targets,
+        pre_training_steps=args.pretrain_steps or LearnConfig.pre_training_steps,
+    )
+    net_cfg = NET_PRESETS[args.net]
+    eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
+    rng = np.random.default_rng(args.seed)
+
+    tx = make_optimizer(cfg.learning_rate)
+    train_step = jax.jit(make_train_step(net_cfg, tx), static_argnames=("train_ube",))
+
+    bundle = new_agent(net_cfg, seed=args.seed)
+    opt_state = tx.init(bundle["params"])
+    resume = ckpt.model_path_with_most_steps(args.directory)
+    if resume is not None:
+        steps, path = resume
+        log.info("resuming from %s at step %d", path, steps)
+        bundle = ckpt.load_checkpoint(path, bundle)
+    else:
+        steps = 0
+        ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
+
+    if args.restart_targets:
+        lines = open(args.restart_targets).read().splitlines()
+        targets = parse_targets(net_cfg.n, lines)
+        rng.shuffle(targets)
+        for i in range(0, len(targets) - cfg.batch_size + 1, cfg.batch_size):
+            batch = make_batch(eng, targets[i : i + cfg.batch_size], rng)
+            bundle, opt_state, _ = train_step(bundle, opt_state, batch, train_ube=False)
+            steps += 1
+        ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
+    elif steps == 0 and cfg.pre_training_steps > 0:
+        log.info("pre-training on %d random targets", cfg.initial_random_targets)
+        targets = random_pretraining_targets(eng, cfg.initial_random_targets, rng)
+        co.append_lines(
+            args.directory, co.TARGETS_INITIAL, [t.to_line() for t in targets]
+        )
+        rng.shuffle(targets)
+        for i in range(cfg.pre_training_steps):
+            chunk = targets[i * cfg.batch_size : (i + 1) * cfg.batch_size]
+            if len(chunk) < cfg.batch_size:
+                break
+            batch = make_batch(eng, chunk, rng)
+            bundle, opt_state, m = train_step(bundle, opt_state, batch, train_ube=False)
+            if i % 100 == 0:
+                log.info("pretrain %d: %s", i, jax.tree.map(float, m))
+            steps += 1
+        ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
+
+    ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+
+    sp_buffer = TargetBuffer(rng)
+    re_buffer = TargetBuffer(rng)
+    sp_tail = co.Tailer(args.directory, co.TARGETS_SELFPLAY)
+    re_tail = co.Tailer(args.directory, co.TARGETS_REANALYZE)
+    last_read = 0.0
+
+    target_steps = None if args.max_steps is None else steps + args.max_steps
+    model_steps = steps
+    while target_steps is None or model_steps < target_steps:
+        model_steps += 1
+        using_reanalyze = (
+            args.restart_targets is not None
+            or model_steps >= cfg.steps_before_reanalyze
+        )
+
+        while True:
+            if time.time() - last_read >= (
+                0.0 if args.no_wait else cfg.min_seconds_between_reads
+            ):
+                sp_buffer.extend(
+                    parse_targets(net_cfg.n, sp_tail.read_new_lines()),
+                    cfg.selfplay_forced_uses,
+                    model_steps,
+                )
+                if using_reanalyze:
+                    re_buffer.extend(
+                        parse_targets(net_cfg.n, re_tail.read_new_lines()),
+                        cfg.reanalyze_forced_uses,
+                        model_steps,
+                    )
+                last_read = time.time()
+                co.write_buffer_lengths(args.directory, len(sp_buffer), len(re_buffer))
+
+            min_sp = cfg.batch_size if args.no_wait else cfg.min_selfplay_buffer
+            min_re = cfg.batch_size if args.no_wait else cfg.min_reanalyze_buffer
+            enough_sp = len(sp_buffer) >= min_sp
+            enough_re = not using_reanalyze or len(re_buffer) >= min_re
+            if enough_sp and enough_re:
+                break
+            if args.no_wait:
+                # Tests: degrade to selfplay-only batches.
+                if enough_sp:
+                    using_reanalyze = False
+                    break
+                return
+            log.info(
+                "not enough targets (sp=%d re=%d), sleeping %.0fs",
+                len(sp_buffer), len(re_buffer), cfg.sleep_when_starved,
+            )
+            time.sleep(cfg.sleep_when_starved)
+
+        if using_reanalyze:
+            half = cfg.batch_size // 2
+            targets = sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
+        else:
+            targets = sp_buffer.drain_batch(cfg.batch_size)
+        batch = make_batch(eng, targets, rng)
+        bundle, opt_state, metrics = train_step(bundle, opt_state, batch, train_ube=True)
+        m = jax.tree.map(float, metrics)
+        log.info(
+            "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
+            model_steps, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
+        )
+        ckpt.save_latest_and_step(
+            args.directory,
+            model_steps,
+            bundle,
+            cfg.steps_per_save,
+            cfg.steps_per_checkpoint,
+        )
+    # Always leave a final latest for downstream consumers (tests rely on it).
+    ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Reanalyze actor driver.
+
+Replaces the reference's reanalyze binary (reanalyze/src/main.rs):
+backpressure on the reanalyze buffer, reload ``model_latest.ckpt``,
+tail-read ``replays.txt`` exploding every replay into all its positions,
+sample a batch, Gumbel-SH with beta=0, append fresh targets to
+``targets-reanalyze.txt``.
+
+Usage:
+    python -m takzero_tpu.drivers.reanalyze --directory DIR [--net ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..config import NET_PRESETS, ReanalyzeConfig
+from ..data.buffer import PositionBuffer
+from ..data.target import Replay
+from ..models.agent import make_net_evaluate, new_agent
+from ..parallel import coordinator as co
+from ..reanalyze import build_targets, make_reanalyze_step
+from ..tak import engine, state_to_tps, tps_to_state
+from ..train.data import stack_states
+from ..utils import ckpt
+
+log = logging.getLogger("reanalyze")
+
+
+def explode_replay(eng, n, line: str) -> list[str]:
+    """Every intermediate position of a replay, as TPS (target.rs:205-212)."""
+    try:
+        replay = Replay.from_line(n, line)
+    except Exception:
+        return []
+    return [state_to_tps(n, s) for s in replay.states(eng)]
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--directory", required=True)
+    parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-steps", type=int, default=None, help="for tests")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--budget", type=int, default=None)
+    parser.add_argument("--sampled", type=int, default=None)
+    parser.add_argument("--min-positions", type=int, default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    cfg = ReanalyzeConfig(
+        batch_size=args.batch or ReanalyzeConfig.batch_size,
+        search_budget=args.budget or ReanalyzeConfig.search_budget,
+        sampled_actions=args.sampled or ReanalyzeConfig.sampled_actions,
+        min_positions=(
+            args.min_positions
+            if args.min_positions is not None
+            else ReanalyzeConfig.min_positions
+        ),
+    )
+    net_cfg = NET_PRESETS[args.net]
+    eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    evaluator = make_net_evaluate(net_cfg, eng)
+    step = jax.jit(
+        make_reanalyze_step(
+            eng,
+            evaluator,
+            cfg.sampled_actions,
+            cfg.search_budget,
+            cfg.max_children,
+            cfg.max_depth,
+            cfg.ube_target_beta,
+        )
+    )
+
+    bundle = new_agent(net_cfg, seed=args.seed)
+    positions = PositionBuffer(rng)
+    tail = co.Tailer(args.directory, co.REPLAYS)
+    steps = 0
+    while args.max_steps is None or steps < args.max_steps:
+        steps += 1
+        co.wait_for_backpressure(
+            args.directory,
+            cfg.max_reanalyze_buffer,
+            which=1,
+            max_wait=None if args.max_steps is None else 0.0,
+        )
+        latest = ckpt.latest_path(args.directory)
+        if latest.exists():
+            try:
+                bundle = ckpt.load_checkpoint(latest, bundle)
+            except Exception as e:
+                log.warning("cannot load model (%s), retrying later", e)
+
+        for line in tail.read_new_lines():
+            positions.extend(explode_replay(eng, net_cfg.n, line))
+        if len(positions) < cfg.min_positions:
+            if args.max_steps is not None:
+                log.info("only %d positions, stopping (test mode)", len(positions))
+                return
+            log.info("only %d positions, sleeping 60s", len(positions))
+            time.sleep(60)
+            continue
+
+        tps_batch = positions.sample(cfg.batch_size)
+        states = stack_states([tps_to_state(net_cfg.n, t) for t in tps_batch])
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        _, pol, child_actions, ube, value = step(
+            jax.tree.map(jax.numpy.asarray, states), bundle, k
+        )
+        targets = build_targets(net_cfg.n, tps_batch, pol, child_actions, ube, value)
+        co.append_lines(
+            args.directory, co.TARGETS_REANALYZE, [t.to_line() for t in targets]
+        )
+        log.info("step %d: %d targets in %.2fs", steps, len(targets), time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Selfplay actor driver.
+
+Replaces the reference's selfplay binary (selfplay/src/main.rs): an
+infinite loop that (1) backpressure-waits on ``buffer_lengths.txt``,
+(2) reloads ``model_latest.ckpt``, (3) plays one Gumbel-SH move across the
+game batch, (4) appends finished targets/replays to the shared files.
+
+Usage:
+    python -m takzero_tpu.drivers.selfplay --directory DIR \
+        [--net net6_simhash] [--exploration] [--seed N] [--max-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..config import MAX_SELFPLAY_BUFFER_LEN, NET_PRESETS, selfplay_preset
+from ..models.agent import make_net_evaluate, new_agent
+from ..parallel import coordinator as co
+from ..selfplay import SelfplayEngine
+from ..tak import engine
+from ..utils import ckpt
+
+log = logging.getLogger("selfplay")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--directory", required=True)
+    parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
+    parser.add_argument("--exploration", action="store_true")
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--max-steps", type=int, default=None, help="for tests")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--budget", type=int, default=None)
+    parser.add_argument("--sampled", type=int, default=None)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    seed = args.seed if args.seed is not None else np.random.SeedSequence().entropy % 2**31
+    log.info("seed = %s", seed)
+    key = jax.random.PRNGKey(seed)
+
+    net_cfg = NET_PRESETS[args.net]
+    eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
+    overrides = {"exploration": args.exploration}
+    if args.batch:
+        overrides["batch"] = args.batch
+    if args.budget:
+        overrides["search_budget"] = args.budget
+    if args.sampled:
+        overrides["sampled_actions"] = args.sampled
+    sp_cfg = selfplay_preset(args.net, **overrides)
+
+    evaluator = make_net_evaluate(net_cfg, eng)
+    sp = SelfplayEngine(eng, sp_cfg, evaluator)
+    key, k0 = jax.random.split(key)
+    sp.reset(k0)
+
+    bundle = new_agent(net_cfg, seed=int(seed))
+    steps = 0
+    while args.max_steps is None or steps < args.max_steps:
+        steps += 1
+        start = time.time()
+        # Backpressure + model reload (selfplay:89-125).
+        co.wait_for_backpressure(
+            args.directory,
+            MAX_SELFPLAY_BUFFER_LEN,
+            which=0,
+            max_wait=None if args.max_steps is None else 0.0,
+        )
+        latest = ckpt.latest_path(args.directory)
+        if latest.exists():
+            try:
+                bundle = ckpt.load_checkpoint(latest, bundle)
+            except Exception as e:  # torn read: keep the old weights
+                log.warning("cannot load model (%s), keeping current", e)
+        log.debug("wait+reload took %.2fs", time.time() - start)
+
+        key, k_move = jax.random.split(key)
+        targets, replays, exploration_replays = sp.play_move(bundle, k_move)
+        log.info(
+            "step %d: move for %d games in %.2fs; %d targets, %d replays",
+            steps, sp_cfg.batch, time.time() - start, len(targets), len(replays),
+        )
+        if targets:
+            co.append_lines(
+                args.directory, co.TARGETS_SELFPLAY, [t.to_line() for t in targets]
+            )
+        if replays:
+            co.append_lines(
+                args.directory, co.REPLAYS, [r.to_line() for r in replays]
+            )
+        if exploration_replays:
+            co.append_lines(
+                args.directory,
+                co.REPLAYS_EXPLORATION,
+                [r.to_line() for r in exploration_replays],
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,8 @@ def improved_policy(tree: Tree, visitations) -> jnp.ndarray:
         ev.negated_float(ch["flag"], ch["ply"], ch["value"]),
     )
     visitations = jnp.asarray(visitations, jnp.float32)
+    if visitations.ndim == 1:  # per-batch visitation counts
+        visitations = visitations[:, None]
     score = ch["logit"] + completed * jnp.sqrt(visitations)
     score = jnp.where(valid, score, -jnp.inf)
     score = score - jnp.max(score, axis=-1, keepdims=True)

@@ -1,0 +1,95 @@
+"""Driver-level integration: selfplay -> learn -> reanalyze through the
+shared-filesystem protocol, all in-process with tiny configs.
+
+This exercises the full reference topology (SURVEY.md §5.8) — append-only
+target/replay files, buffer_lengths backpressure, model_latest reloads —
+without a cluster.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from takzero_tpu.drivers import learn as learn_driver
+from takzero_tpu.drivers import reanalyze as reanalyze_driver
+from takzero_tpu.drivers import selfplay as selfplay_driver
+from takzero_tpu.parallel import coordinator as co
+
+
+@pytest.mark.slow
+def test_full_loop(tmp_path):
+    d = str(tmp_path)
+
+    # 1. Learner initializes + pretrains briefly, writes model_latest.
+    learn_driver.main(
+        [
+            "--directory", d,
+            "--net", "tiny3",
+            "--seed", "1",
+            "--batch-size", "8",
+            "--pretrain-targets", "32",
+            "--pretrain-steps", "2",
+            "--max-steps", "0",
+            "--no-wait",
+        ]
+    )
+    assert (tmp_path / "model_latest.ckpt").exists()
+    assert (tmp_path / "model_0000000.ckpt").exists()
+    assert (tmp_path / "targets-initial.txt").exists()
+
+    # 2. Selfplay generates targets + replays against model_latest.
+    selfplay_driver.main(
+        [
+            "--directory", d,
+            "--net", "tiny3",
+            "--seed", "2",
+            "--batch", "4",
+            "--budget", "16",
+            "--sampled", "4",
+            "--max-steps", "30",
+        ]
+    )
+    targets_file = tmp_path / "targets-selfplay.txt"
+    replays_file = tmp_path / "replays.txt"
+    assert targets_file.exists() and targets_file.stat().st_size > 0
+    assert replays_file.exists() and replays_file.stat().st_size > 0
+
+    # 3. Learner trains on them.
+    learn_driver.main(
+        [
+            "--directory", d,
+            "--net", "tiny3",
+            "--seed", "3",
+            "--batch-size", "8",
+            "--pretrain-steps", "0",
+            "--max-steps", "2",
+            "--no-wait",
+        ]
+    )
+    lengths = co.read_buffer_lengths(d)
+    assert lengths is not None and lengths[0] > 0
+
+    # 4. Reanalyze produces fresh targets from the replays.
+    reanalyze_driver.main(
+        [
+            "--directory", d,
+            "--net", "tiny3",
+            "--seed", "4",
+            "--batch", "4",
+            "--budget", "16",
+            "--sampled", "4",
+            "--min-positions", "4",
+            "--max-steps", "2",
+        ]
+    )
+    re_file = tmp_path / "targets-reanalyze.txt"
+    assert re_file.exists() and re_file.stat().st_size > 0
+
+    # Reanalyze targets parse back.
+    from takzero_tpu.data.target import Target
+
+    lines = re_file.read_text().splitlines()
+    t = Target.from_line(3, lines[0])
+    assert abs(t.value) <= 1.0
+    assert 0 <= t.ube <= 4.0
