@@ -61,14 +61,18 @@ def main() -> None:
     envs = opening(jax.random.PRNGKey(0), batch)
     tree0 = init_tree(eng, envs, budget + 8, 128)
 
-    # Warmup (compile).
+    import numpy as np
+
+    # Warmup (compile). NOTE: under the axon remote backend,
+    # block_until_ready does not await remote execution — a host transfer
+    # does, so force one for honest timing.
     tree, slot = search_jit(tree0, jax.random.PRNGKey(1), bundle)
-    jax.block_until_ready(slot)
+    np.asarray(slot)
 
     t0 = time.perf_counter()
     for i in range(moves):
         tree, slot = search_jit(tree0, jax.random.PRNGKey(2 + i), bundle)
-    jax.block_until_ready(slot)
+        np.asarray(slot)
     dt = time.perf_counter() - t0
 
     sims_per_move = (budget + 1) * batch  # +1 root-init simulation

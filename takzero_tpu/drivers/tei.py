@@ -1,0 +1,223 @@
+"""TEI engine server (UCI-like protocol for Tak).
+
+Replaces tei/src/{main.rs,protocol.rs}: a stdin/stdout loop speaking TEI —
+handshake (``tei`` -> id/option/teiok), ``setoption``, ``isready``,
+``teinewgame``, ``position [startpos|tps ...] [moves ...]``, ``go`` with
+wtime/btime/winc/binc/movetime/nodes/infinite, ``stop``, ``quit``.
+
+Search runs in chunks of simulations on a single root (PUCT with the
+exact solver, beta=0), printing ``info`` lines (time, nodes, nps, score
+cp / mate, pv) between chunks; time budget = remaining/10 + 3*increment/4
+(tei/src/main.rs:241-243).
+
+Usage:  python -m takzero_tpu.drivers.tei [--net net6_simhash] [--model CKPT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import NET_PRESETS
+from ..models.agent import make_net_evaluate, new_agent
+from ..search import eval as ev
+from ..search.core import make_simulate
+from ..search.policy import select_best_slot, slot_action
+from ..search.tree import init_tree
+from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
+from ..utils import ckpt
+
+SIM_CHUNK = 128
+
+
+class TeiEngine:
+    def __init__(self, net: str, model_path: str | None, out=sys.stdout):
+        self.net_name = net
+        self.model_path = model_path
+        self.out = out
+        self.cfg = NET_PRESETS[net]
+        self.eng = engine(self.cfg.n, half_komi=self.cfg.half_komi)
+        self.bundle = None
+        self.position = None
+        self._run = None
+
+    def send(self, line: str) -> None:
+        print(line, file=self.out, flush=True)
+
+    # ------------------------------------------------------------------
+    def ensure_ready(self):
+        if self.bundle is not None:
+            return
+        self.bundle = new_agent(self.cfg, seed=0)
+        if self.model_path:
+            self.bundle = ckpt.load_checkpoint_partial(self.model_path, self.bundle)
+        evaluator = make_net_evaluate(self.cfg, self.eng)
+
+        def run_chunk(tree, bundle):
+            simulate = make_simulate(
+                self.eng, lambda e: evaluator(bundle, e), max_depth=64
+            )
+
+            def body(_, t):
+                return simulate(t, jnp.zeros(1))
+
+            return jax.lax.fori_loop(0, SIM_CHUNK, body, tree)
+
+        self._run = jax.jit(run_chunk)
+        self.position = self.eng.initial()
+
+    # ------------------------------------------------------------------
+    def cmd_position(self, parts: list[str]):
+        self.ensure_ready()
+        i = 0
+        if parts[i] == "startpos":
+            state = self.eng.initial()
+            i += 1
+        elif parts[i] == "tps":
+            # TPS is three whitespace-separated fields.
+            tps = " ".join(parts[i + 1 : i + 4])
+            state = tps_to_state(self.cfg.n, tps)
+            i += 4
+        else:
+            raise ValueError(f"bad position: {parts}")
+        if i < len(parts) and parts[i] == "moves":
+            for mv in parts[i + 1 :]:
+                state = self.eng.step_jit(state, ptn_to_action(self.cfg.n, mv))
+        self.position = state
+
+    def cmd_go(self, parts: list[str]):
+        self.ensure_ready()
+        opts = {}
+        it = iter(parts)
+        for tok in it:
+            if tok in ("wtime", "btime", "winc", "binc", "movetime", "nodes"):
+                opts[tok] = int(next(it))
+            elif tok == "infinite":
+                opts["infinite"] = True
+
+        to_move = int(self.position.to_move)
+        if "movetime" in opts:
+            budget_s = opts["movetime"] / 1000.0
+        elif "wtime" in opts or "btime" in opts:
+            t = opts.get("wtime" if to_move == 0 else "btime", 10_000)
+            inc = opts.get("winc" if to_move == 0 else "binc", 0)
+            budget_s = (t / 10.0 + 3.0 * inc / 4.0) / 1000.0
+        else:
+            budget_s = 5.0
+        max_nodes = opts.get("nodes", 10**9)
+
+        envs = jax.tree.map(lambda x: jnp.asarray(x)[None], self.position)
+        tree = init_tree(
+            self.eng, envs, max_nodes=1 << 14,
+            max_children=256 if self.cfg.n >= 6 else 128,
+        )
+        start = time.time()
+        nodes = 0
+        while True:
+            tree = self._run(tree, self.bundle)
+            jax.block_until_ready(tree.root_visit)
+            nodes += SIM_CHUNK
+            elapsed = time.time() - start
+            self._info(tree, nodes, elapsed)
+            if opts.get("infinite"):
+                continue
+            if elapsed >= budget_s or nodes >= max_nodes:
+                break
+            if int(tree.root_flag[0]) != ev.VALUE:
+                break  # solved
+        slot = select_best_slot(tree)
+        action = int(np.asarray(slot_action(tree, slot))[0])
+        self.send(f"bestmove {action_to_ptn(self.cfg.n, action)}")
+
+    def _info(self, tree, nodes, elapsed):
+        flag = int(tree.root_flag[0])
+        ply = int(tree.root_ply[0])
+        value = float(tree.root_value[0])
+        if flag == ev.WIN:
+            score = f"mate {math.ceil(ply / 2)}"
+        elif flag == ev.LOSS:
+            score = f"mate -{math.ceil(ply / 2)}"
+        else:
+            # Probability-space value -> centipawn-ish scale.
+            score = f"cp {int(600 * value)}"
+        pv = self._pv(tree)
+        nps = int(nodes / max(elapsed, 1e-6))
+        self.send(
+            f"info time {int(elapsed * 1000)} nodes {nodes} nps {nps}"
+            f" score {score} pv {' '.join(pv)}"
+        )
+
+    def _pv(self, tree, max_len: int = 12) -> list[str]:
+        ca = np.asarray(tree.child_action[0])
+        cn = np.asarray(tree.child_node[0])
+        cv = np.asarray(tree.child_visit[0])
+        out = []
+        node = 0
+        for _ in range(max_len):
+            valid = ca[node] >= 0
+            if not valid.any() or cv[node].max() <= 0:
+                break
+            slot = int(np.argmax(np.where(valid, cv[node], -1)))
+            out.append(action_to_ptn(self.cfg.n, int(ca[node][slot])))
+            node = int(cn[node][slot])
+            if node < 0:
+                break
+        return out
+
+    # ------------------------------------------------------------------
+    def handle(self, line: str) -> bool:
+        """Process one command; returns False on quit."""
+        parts = line.strip().split()
+        if not parts:
+            return True
+        cmd, rest = parts[0], parts[1:]
+        if cmd == "tei":
+            self.send("id name takzero-tpu")
+            self.send("id author takzero-tpu contributors")
+            self.send("option name Model type string")
+            self.send(f"option name HalfKomi type spin default {self.cfg.half_komi}")
+            self.send("teiok")
+        elif cmd == "setoption":
+            # setoption name X value Y
+            try:
+                name = rest[rest.index("name") + 1]
+                value = rest[rest.index("value") + 1]
+            except (ValueError, IndexError):
+                return True
+            if name.lower() == "model":
+                self.model_path = value
+                self.bundle = None
+        elif cmd == "isready":
+            self.ensure_ready()
+            self.send("readyok")
+        elif cmd == "teinewgame":
+            self.ensure_ready()
+            self.position = self.eng.initial()
+        elif cmd == "position":
+            self.cmd_position(rest)
+        elif cmd == "go":
+            self.cmd_go(rest)
+        elif cmd == "quit":
+            return False
+        return True
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
+    parser.add_argument("--model", default=None)
+    args = parser.parse_args(argv)
+    eng = TeiEngine(args.net, args.model)
+    for line in sys.stdin:
+        if not eng.handle(line):
+            break
+
+
+if __name__ == "__main__":
+    main()

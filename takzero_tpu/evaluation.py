@@ -1,0 +1,109 @@
+"""Model-vs-model pit fighting.
+
+Mirrors evaluation/src/main.rs:221-319 (`compete`): two agents alternate
+half-moves across a batch of opening positions; the agent given first is
+"white" (it makes the first move from each opening).  Terminals are
+attributed to the player who just moved; finished games are frozen.
+Results are W/L/D from white's perspective.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .search.gumbel import make_gumbel_search
+from .search.policy import slot_action
+from .search.tree import init_tree
+from .tak.engine import TakEngine
+
+
+@dataclass
+class Evaluation:
+    wins: int = 0
+    losses: int = 0
+    draws: int = 0
+
+    def win_rate(self) -> float:
+        total = self.wins + self.losses + self.draws
+        return self.wins / total if total else 0.0
+
+    def __str__(self) -> str:
+        return (
+            f"Evaluation {{ wins: {self.wins}, losses: {self.losses},"
+            f" draws: {self.draws} }}"
+        )
+
+
+def make_compete(
+    eng: TakEngine,
+    evaluator_factory,
+    sampled_actions: int = 64,
+    search_budget: int = 768,
+    max_children: int = 128,
+    max_depth: int = 48,
+):
+    """Build `compete(bundle_white, bundle_black, envs, key) -> Evaluation`."""
+    max_nodes = search_budget + 8
+    step_b = jax.vmap(eng.step)
+    terminal_b = jax.vmap(eng.terminal_kind)
+
+    def half_move(envs, bundle, key):
+        evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
+        search = make_gumbel_search(
+            eng, evaluator, sampled_actions, search_budget, max_depth
+        )
+        b = envs.ply.shape[0]
+        tree = init_tree(eng, envs, max_nodes, max_children)
+        tree, slot = search(tree, key, jnp.zeros(b))
+        action = slot_action(tree, slot).clip(0)
+        nxt = step_b(envs, action)
+        tk = terminal_b(nxt)
+        return nxt, tk
+
+    half_move_jit = jax.jit(half_move)
+
+    def compete(bundle_white, bundle_black, envs, key, max_moves: int = 200):
+        b = int(envs.ply.shape[0])
+        done = np.zeros(b, bool)
+        ev = Evaluation()
+        cur = envs
+        for move in range(2 * max_moves):
+            if done.all():
+                break
+            is_white = move % 2 == 0
+            bundle = bundle_white if is_white else bundle_black
+            key, k = jax.random.split(key)
+            nxt, tk = half_move_jit(cur, bundle, k)
+            tk = np.asarray(tk)
+            # Freeze finished games: keep their final envs (no restart).
+            keep = done
+            cur = jax.tree.map(
+                lambda old, new: jnp.where(
+                    jnp.asarray(keep).reshape((-1,) + (1,) * (new.ndim - 1)),
+                    old,
+                    new,
+                ),
+                cur,
+                nxt,
+            )
+            for g in range(b):
+                if done[g] or tk[g] == 0:
+                    continue
+                done[g] = True
+                # Terminal is from the post-move mover's opponent's POV:
+                # Loss for the side to move == win for the agent that moved.
+                mover_won = tk[g] == 2
+                mover_lost = tk[g] == 1
+                if tk[g] == 3:
+                    ev.draws += 1
+                elif (mover_won and is_white) or (mover_lost and not is_white):
+                    ev.wins += 1
+                else:
+                    ev.losses += 1
+        return ev
+
+    return compete
