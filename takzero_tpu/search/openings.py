@@ -42,20 +42,24 @@ def make_new_opening(eng: TakEngine, random_steps: int = 0):
         envs = initial_state_batch(n, batch)
         envs = step_b(envs, sq1)  # channel 0 = place flat: action == square
         envs = step_b(envs, sq2)
-        for i in range(random_steps):
+
+        def random_step(i, envs):
             k_i = jax.random.fold_in(k_steps, i)
             mask = legal_b(envs)
             logits = jnp.where(mask, 0.0, -jnp.inf)
             act = jax.random.categorical(k_i, logits, axis=-1)
             nxt = step_b(envs, act)
             terminal = jax.vmap(eng.terminal_kind)(envs) != 0
-            envs = jax.tree.map(
+            return jax.tree.map(
                 lambda nv, old: jnp.where(
                     terminal.reshape((-1,) + (1,) * (old.ndim - 1)), old, nv
                 ),
                 nxt,
                 envs,
             )
+
+        if random_steps:
+            envs = jax.lax.fori_loop(0, random_steps, random_step, envs)
         return envs
 
     return new_opening

@@ -29,8 +29,8 @@ def stack_states(states) -> TakState:
 
 def make_batch(
     eng: TakEngine, targets: list[Target], rng: np.random.Generator,
-    augment: bool = True,
-) -> Batch:
+    augment: bool = True, return_states: bool = False,
+):
     n = eng.n
     a = eng.num_actions
     amap = action_maps(n)
@@ -52,13 +52,16 @@ def make_batch(
         ube[i] = t.ube
     batched = jax.tree.map(jnp.asarray, stack_states(states))
     planes = jax.vmap(lambda s: state_to_planes(eng, s))(batched)
-    return Batch(
+    batch = Batch(
         planes=planes,
         policy=jnp.asarray(policy),
         mask=jnp.asarray(mask),
         value=jnp.asarray(value),
         ube=jnp.asarray(ube),
     )
+    if return_states:
+        return batch, batched
+    return batch
 
 
 def random_pretraining_targets(
