@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import time
 
@@ -173,6 +174,12 @@ def main(argv=None) -> None:
         log.info(
             "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
             model_steps, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
+        )
+        # Structured metrics alongside the logs (tools/logs.py reads both).
+        co.append_lines(
+            args.directory,
+            "metrics.jsonl",
+            [json.dumps({"step": model_steps, **m})],
         )
         ckpt.save_latest_and_step(
             args.directory,

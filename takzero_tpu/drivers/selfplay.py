@@ -39,6 +39,12 @@ def main(argv=None) -> None:
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--budget", type=int, default=None)
     parser.add_argument("--sampled", type=int, default=None)
+    parser.add_argument(
+        "--dump-search",
+        default=None,
+        help="append per-move root action dumps (game 0) to this file "
+        "for tools/analyze_search.py",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -84,6 +90,11 @@ def main(argv=None) -> None:
 
         key, k_move = jax.random.split(key)
         targets, replays, exploration_replays = sp.play_move(bundle, k_move)
+        if args.dump_search:
+            from ..selfplay import dump_root_line
+
+            with open(args.dump_search, "a", encoding="utf-8") as f:
+                f.write(dump_root_line(net_cfg.n, sp.last_root) + "\n")
         log.info(
             "step %d: move for %d games in %.2fs; %d targets, %d replays",
             steps, sp_cfg.batch, time.time() - start, len(targets), len(replays),

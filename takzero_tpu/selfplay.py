@@ -123,11 +123,23 @@ class SelfplayEngine:
                 fresh,
                 stepped,
             )
-            return nxt, action, pol, child_actions, ube, tk, res, winner_road
+            # Root statistics exported for offline search analysis
+            # (tools/analyze_search.py; reference runs/*.txt dumps).
+            root = dict(
+                action=child_actions,
+                visit=tree.child_visit[:, 0, :],
+                flag=tree.child_flag[:, 0, :],
+                ply=tree.child_ply[:, 0, :],
+                value=tree.child_value[:, 0, :],
+                std=tree.child_std[:, 0, :],
+                logit=tree.child_logit[:, 0, :],
+            )
+            return nxt, action, pol, child_actions, ube, tk, res, winner_road, root
 
         self._move = jax.jit(move_fn)
         self.envs = None
         self.logs: list[GameLog] = []
+        self.last_root = None
 
     def reset(self, key):
         self.envs = self._opening(key, self.cfg.batch)
@@ -141,10 +153,11 @@ class SelfplayEngine:
         """One move in every game. Returns (targets, replays) completed."""
         cfg = self.cfg
         envs_before = jax.tree.map(np.asarray, self.envs)
-        nxt, action, pol, child_actions, ube, tk, res, road = self._move(
+        nxt, action, pol, child_actions, ube, tk, res, road, root = self._move(
             self.envs, bundle, key
         )
         self.envs = nxt
+        self.last_root = jax.tree.map(np.asarray, root)
         action = np.asarray(action)
         pol = np.asarray(pol)
         child_actions = np.asarray(child_actions)
@@ -249,3 +262,31 @@ def _result_str(res: int, road: bool) -> str:
 
 def _lane(host_state, i: int):
     return jax.tree.map(lambda x: x[i], host_state)
+
+
+def dump_root_line(n: int, root, lane: int = 0) -> str:
+    """One search-dump line: ``move:visits:eval:std:logit,...`` over valid
+    root children — the format tools/analyze_search.py consumes (mirrors
+    the reference's runs/*.txt per-move action dumps)."""
+    from .tak import action_to_ptn
+
+    def eval_str(flag, ply, value):
+        if flag == ev.WIN:
+            return f"Win({ply})"
+        if flag == ev.LOSS:
+            return f"Loss({ply})"
+        if flag == ev.DRAW:
+            return f"Draw({ply})"
+        return f"{value:.6f}"
+
+    items = []
+    for j in range(root["action"].shape[1]):
+        a = int(root["action"][lane, j])
+        if a < 0:
+            continue
+        items.append(
+            f"{action_to_ptn(n, a)}:{int(root['visit'][lane, j])}:"
+            f"{eval_str(int(root['flag'][lane, j]), int(root['ply'][lane, j]), float(root['value'][lane, j]))}:"
+            f"{float(root['std'][lane, j]):.6f}:{float(root['logit'][lane, j]):.6f}"
+        )
+    return ",".join(items) + ","
