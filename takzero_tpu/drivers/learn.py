@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import NET_PRESETS, LearnConfig
 from ..data.buffer import TargetBuffer
-from ..data.target import Target
+from ..data.native_loader import make_batch_native, valid_target_lines
 from ..models.agent import new_agent
 from ..parallel import coordinator as co
 from ..tak import engine
@@ -33,16 +33,6 @@ from ..train.learner import make_optimizer, make_train_step
 from ..utils import ckpt
 
 log = logging.getLogger("learn")
-
-
-def parse_targets(n, lines):
-    out = []
-    for line in lines:
-        try:
-            out.append(Target.from_line(n, line))
-        except Exception:  # skip malformed lines, as the reference does
-            continue
-    return out
 
 
 def main(argv=None) -> None:
@@ -84,11 +74,14 @@ def main(argv=None) -> None:
         ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
 
     if args.restart_targets:
-        lines = open(args.restart_targets).read().splitlines()
-        targets = parse_targets(net_cfg.n, lines)
-        rng.shuffle(targets)
-        for i in range(0, len(targets) - cfg.batch_size + 1, cfg.batch_size):
-            batch = make_batch(eng, targets[i : i + cfg.batch_size], rng)
+        lines = valid_target_lines(
+            net_cfg.n, open(args.restart_targets).read().splitlines()
+        )
+        rng.shuffle(lines)
+        for i in range(0, len(lines) - cfg.batch_size + 1, cfg.batch_size):
+            batch = make_batch_native(
+                eng, "\n".join(lines[i : i + cfg.batch_size]) + "\n", rng
+            )
             bundle, opt_state, _ = train_step(bundle, opt_state, batch, train_ube=False)
             steps += 1
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
@@ -131,14 +124,16 @@ def main(argv=None) -> None:
             if time.time() - last_read >= (
                 0.0 if args.no_wait else cfg.min_seconds_between_reads
             ):
+                # Buffers hold raw validated lines; parsing happens natively
+                # per batch (data/native_loader.py).
                 sp_buffer.extend(
-                    parse_targets(net_cfg.n, sp_tail.read_new_lines()),
+                    valid_target_lines(net_cfg.n, sp_tail.read_new_lines()),
                     cfg.selfplay_forced_uses,
                     model_steps,
                 )
                 if using_reanalyze:
                     re_buffer.extend(
-                        parse_targets(net_cfg.n, re_tail.read_new_lines()),
+                        valid_target_lines(net_cfg.n, re_tail.read_new_lines()),
                         cfg.reanalyze_forced_uses,
                         model_steps,
                     )
@@ -168,7 +163,7 @@ def main(argv=None) -> None:
             targets = sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
         else:
             targets = sp_buffer.drain_batch(cfg.batch_size)
-        batch = make_batch(eng, targets, rng)
+        batch = make_batch_native(eng, "\n".join(targets) + "\n", rng)
         bundle, opt_state, metrics = train_step(bundle, opt_state, batch, train_ube=True)
         m = jax.tree.map(float, metrics)
         log.info(

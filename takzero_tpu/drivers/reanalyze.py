@@ -20,25 +20,46 @@ import jax
 import numpy as np
 
 from ..config import NET_PRESETS, ReanalyzeConfig
+from ..data import native_loader as nl
 from ..data.buffer import PositionBuffer
-from ..data.target import Replay
 from ..models.agent import make_net_evaluate, new_agent
 from ..parallel import coordinator as co
 from ..reanalyze import build_targets, make_reanalyze_step
-from ..tak import engine, state_to_tps, tps_to_state
-from ..train.data import stack_states
+from ..tak import engine, state_to_tps
 from ..utils import ckpt
 
 log = logging.getLogger("reanalyze")
 
 
-def explode_replay(eng, n, line: str) -> list[str]:
-    """Every intermediate position of a replay, as TPS (target.rs:205-212)."""
-    try:
-        replay = Replay.from_line(n, line)
-    except Exception:
+def explode_replays(eng, lines: list[str]) -> list[np.ndarray]:
+    """Every intermediate position of every replay as packed int64 rows
+    (target.rs:205-212), via the native loader — no per-position Python."""
+    if not lines:
         return []
-    return [state_to_tps(n, s) for s in replay.states(eng)]
+    text = "\n".join(line.rstrip("\n") for line in lines) + "\n"
+    states, _ = nl.parse_replay_positions(
+        eng.n, eng.half_komi, eng.reversible_limit, text
+    )
+    packed = pack_rows(eng.n, states)
+    return list(packed)
+
+
+def pack_rows(n: int, states) -> np.ndarray:
+    """Batched TakState (numpy) -> int64[P, state_size] rows."""
+    s = n * n
+    p = states.height.shape[0]
+    buf = np.zeros((p, nl.state_size(n)), np.int64)
+    buf[:, :s] = states.height
+    owners = states.owner_lo.astype(np.uint64) | (
+        states.owner_hi.astype(np.uint64) << np.uint64(32)
+    )
+    buf[:, s : 2 * s] = owners.astype(np.int64)
+    buf[:, 2 * s : 3 * s] = states.tops
+    buf[:, 3 * s : 3 * s + 4] = states.reserves.reshape(p, 4)
+    buf[:, 3 * s + 4] = states.to_move
+    buf[:, 3 * s + 5] = states.ply
+    buf[:, 3 * s + 6] = states.reversible
+    return buf
 
 
 def main(argv=None) -> None:
@@ -101,8 +122,7 @@ def main(argv=None) -> None:
             except Exception as e:
                 log.warning("cannot load model (%s), retrying later", e)
 
-        for line in tail.read_new_lines():
-            positions.extend(explode_replay(eng, net_cfg.n, line))
+        positions.extend(explode_replays(eng, tail.read_new_lines()))
         if len(positions) < cfg.min_positions:
             if args.max_steps is not None:
                 log.info("only %d positions, stopping (test mode)", len(positions))
@@ -111,8 +131,12 @@ def main(argv=None) -> None:
             time.sleep(60)
             continue
 
-        tps_batch = positions.sample(cfg.batch_size)
-        states = stack_states([tps_to_state(net_cfg.n, t) for t in tps_batch])
+        rows = np.stack(positions.sample(cfg.batch_size))
+        states = nl.unpack_states(net_cfg.n, rows)
+        tps_batch = [
+            state_to_tps(net_cfg.n, jax.tree.map(lambda x: x[i], states))
+            for i in range(rows.shape[0])
+        ]
         key, k = jax.random.split(key)
         t0 = time.time()
         _, pol, child_actions, ube, value = step(
