@@ -21,7 +21,7 @@ import numpy as np
 from ..config import NET_PRESETS
 from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
-from ..search.core import make_simulate
+from ..search.core import make_kernels
 from ..search.policy import improved_policy, select_best_slot, slot_action
 from ..search.tree import init_tree
 from ..tak import action_to_ptn, engine, ptn_to_action, state_to_tps, tps_to_state
@@ -91,8 +91,12 @@ def main(argv=None) -> None:
     evaluator = make_net_evaluate(cfg, eng)
 
     def run_chunk(tree, bundle):
-        simulate = make_simulate(eng, lambda e: evaluator(bundle, e), max_depth=64)
-        return jax.lax.fori_loop(0, SIM_CHUNK, lambda _, t: simulate(t, jnp.zeros(1)), tree)
+        # Root init + virtual-visit batched sims: one NN call per chunk.
+        simulate, simulate_batch = make_kernels(
+            eng, lambda e: evaluator(bundle, e), max_depth=64
+        )
+        tree = simulate(tree, jnp.zeros(1))
+        return simulate_batch(tree, jnp.zeros(1), SIM_CHUNK - 1)
 
     run = jax.jit(run_chunk)
     state = tps_to_state(cfg.n, args.tps) if args.tps else eng.initial()

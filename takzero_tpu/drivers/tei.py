@@ -27,7 +27,7 @@ import numpy as np
 from ..config import NET_PRESETS
 from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
-from ..search.core import make_simulate
+from ..search.core import make_kernels
 from ..search.policy import select_best_slot, slot_action
 from ..search.tree import init_tree
 from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
@@ -60,14 +60,15 @@ class TeiEngine:
         evaluator = make_net_evaluate(self.cfg, self.eng)
 
         def run_chunk(tree, bundle):
-            simulate = make_simulate(
+            # One plain simulation expands the root, then the virtual-visit
+            # batched kernel collects SIM_CHUNK leaves per network call
+            # (the reference tei's `virtual` feature, mcts.rs:268-328) —
+            # keeping the single-game serve path at full MXU batch width.
+            simulate, simulate_batch = make_kernels(
                 self.eng, lambda e: evaluator(bundle, e), max_depth=64
             )
-
-            def body(_, t):
-                return simulate(t, jnp.zeros(1))
-
-            return jax.lax.fori_loop(0, SIM_CHUNK, body, tree)
+            tree = simulate(tree, jnp.zeros(1))
+            return simulate_batch(tree, jnp.zeros(1), SIM_CHUNK - 1)
 
         self._run = jax.jit(run_chunk)
         self.position = self.eng.initial()
@@ -121,7 +122,9 @@ class TeiEngine:
         nodes = 0
         while True:
             tree = self._run(tree, self.bundle)
-            jax.block_until_ready(tree.root_visit)
+            # A host transfer (not block_until_ready) awaits remote
+            # backends, keeping the reported nps honest.
+            np.asarray(tree.root_visit)
             nodes += SIM_CHUNK
             elapsed = time.time() - start
             self._info(tree, nodes, elapsed)

@@ -16,6 +16,8 @@ Novelty variants (reference §2.1):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -79,32 +81,59 @@ def simhash_indices(cfg: NetConfig, matrix, planes) -> jnp.ndarray:
     """uint32[B] hash bucket per position (net6_simhash.rs:203-234).
 
     The side-to-move channel (index C-2) is zeroed first, as in the
-    reference ("too much of an impact").
+    reference ("too much of an impact").  On TPU the projection + sign +
+    bit-pack run as one fused Pallas kernel (ops/pallas_kernels.py).
     """
+    from ..ops.pallas_kernels import on_tpu, simhash_pack, simhash_pack_reference
+
     b = planes.shape[0]
     c = input_channels(cfg.n)
     planes = planes.at[:, c - 2].set(0.0)
-    dots = planes.reshape(b, -1) @ matrix  # [B, bits]
-    bits = (dots >= 0).astype(jnp.uint32)
-    powers = jnp.uint32(1) << jnp.arange(cfg.hash_bits, dtype=jnp.uint32)
-    return jnp.sum(bits * powers[None, :], axis=-1, dtype=jnp.uint32)
+    x = planes.reshape(b, -1)
+    if on_tpu():
+        return simhash_pack(x, matrix)
+    return simhash_pack_reference(x, matrix)
 
 
 def lcghash_indices(cfg: NetConfig, scale, planes) -> jnp.ndarray:
-    """uint32[B]: LCG fold of bit-cast scaled planes (net4_lcghash.rs)."""
+    """uint32[B]: LCG fold of bit-cast scaled planes (net4_lcghash.rs).
+
+    The fold ``acc = A*acc + C + x_i`` is a linear recurrence, so it is
+    computed in closed form as one modular dot product
+    ``acc_K = sum_i A^(K-1-i) * x_i + C * sum_j A^j (mod 2^32)`` —
+    fully parallel on the VPU instead of a K-step serial scan.
+    """
     b = planes.shape[0]
     c = input_channels(cfg.n)
     planes = planes.at[:, c - 2].set(0.0)
     x = (planes * scale[None]).reshape(b, -1)
     ints = jax.lax.bitcast_convert_type(x, jnp.uint32)
-
-    def fold(acc, v):
-        return acc * _LCG_A + _LCG_C + v, None
-
-    acc, _ = jax.lax.scan(fold, jnp.zeros((b,), jnp.uint32), ints.T)
+    k = ints.shape[1]
+    weights, const = _lcg_closed_form(k)
+    acc = jnp.sum(
+        ints * jnp.asarray(weights)[None, :], axis=-1, dtype=jnp.uint32
+    ) + jnp.uint32(const)
     if cfg.hash_bits < 32:
         acc = acc >> jnp.uint32(32 - cfg.hash_bits)
     return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _lcg_closed_form(k: int):
+    """(weights uint32[k], const int): A^(k-1-i) and C*sum(A^j) mod 2^32.
+
+    Host numpy constants (device arrays must not be cached across traces).
+    """
+    import numpy as np
+
+    a, ccst = int(_LCG_A), int(_LCG_C)
+    mod = 1 << 32
+    pows = [1] * k
+    for i in range(1, k):
+        pows[i] = (pows[i - 1] * a) % mod
+    weights = np.asarray([pows[k - 1 - i] for i in range(k)], np.uint32)
+    const = np.uint32(ccst * sum(pows) % mod)
+    return weights, const
 
 
 def hash_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
@@ -146,18 +175,32 @@ def rnd_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def make_net_evaluate(cfg: NetConfig, eng: TakEngine):
-    """Build `net_evaluate(bundle, envs) -> (logits, value, variance)`."""
+def make_net_evaluate(cfg: NetConfig, eng: TakEngine, folded: bool = True):
+    """Build `net_evaluate(bundle, envs) -> (logits, value, variance)`.
+
+    With `folded` (default), inference runs on BN-folded conv weights
+    (network.apply_folded) — the fold is a pure function of the bundle, so
+    XLA hoists it out of search loops and the tower runs as fused
+    conv+bias+relu MXU chains.
+    """
+    from .network import apply_folded, fold_inference_params
+
     model = TakNet(cfg)
     planes_batch = jax.vmap(lambda s: state_to_planes(eng, s))
 
     def net_evaluate(bundle, envs):
         planes = planes_batch(envs)
-        policy, value, ube = model.apply(
-            {"params": bundle["params"], "batch_stats": bundle["batch_stats"]},
-            planes,
-            train=False,
-        )
+        if folded:
+            fw = fold_inference_params(
+                cfg, bundle["params"], bundle["batch_stats"]
+            )
+            policy, value, ube = apply_folded(cfg, fw, planes)
+        else:
+            policy, value, ube = model.apply(
+                {"params": bundle["params"], "batch_stats": bundle["batch_stats"]},
+                planes,
+                train=False,
+            )
         if cfg.novelty in ("simhash", "lcghash"):
             local = hash_novelty(cfg, bundle, planes)
         elif cfg.novelty == "rnd":

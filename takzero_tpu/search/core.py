@@ -1,8 +1,8 @@
-"""Fused batched MCTS simulation step.
+"""Fused batched MCTS simulation kernels.
 
-One call = one simulation on every tree in the batch, entirely on device:
-vectorized PUCT descent (masked while_loop), one batched network
-evaluation, expansion, and backward propagation with the exact
+One `simulate` call = one simulation on every tree in the batch, entirely
+on device: vectorized PUCT descent (masked while_loop), one batched
+network evaluation, expansion, and backward propagation with the exact
 win/loss/draw solver.  Mirrors the reference's forward/backward split
 (takzero/src/search/node/mcts.rs:104-225) and selection formulas
 (policy.rs:78-95,140-156):
@@ -19,13 +19,19 @@ win/loss/draw solver.  Mirrors the reference's forward/backward split
 * `forced_slot`/`skip_root` implement Gumbel sequential-halving subtree
   searches that leave root statistics untouched (batched.rs:251-356).
 
+`make_simulate_batch` is the reference's `virtual`-feature serve-path
+kernel (mcts.rs:268-328): K forward descents on the *same* trees (the
+in-forward visit increments decorrelate them), known stops backed up
+immediately, then ONE network call on all K*B collected leaves, then K
+guarded expansion+backward passes.  This is what keeps the single-game
+serve path (TEI/analysis) on the MXU at full batch width.
+
 The evaluator is a closure ``envs -> (policy_logits [B,A], value [B],
 variance [B])`` so network agents, Dummy and Simple plug in uniformly.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -42,21 +48,23 @@ def _rows(arr, bar, cur):
     return arr[bar, cur]
 
 
-def make_simulate(
+def make_kernels(
     eng: TakEngine,
     evaluator: Callable,
     max_depth: int = 48,
 ):
-    """Build `simulate(tree, beta, forced_slot, skip_root) -> Tree`."""
+    """Build the phase kernels; returns (simulate, simulate_batch)."""
 
     step_batch = jax.vmap(eng.step)
     terminal_batch = jax.vmap(eng.terminal_kind)
     legal_batch = jax.vmap(eng.legal_mask)
 
-    def simulate(tree: Tree, beta, forced_slot=None, *, skip_root: bool = False):
+    # ------------------------------------------------------------------
+    # Forward phase: descent, visit increments, terminal discovery.
+    # ------------------------------------------------------------------
+    def forward(tree: Tree, beta, forced_slot, skip_root: bool):
         b, m, c = tree.child_visit.shape
         bar = jnp.arange(b)
-        beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (b,))
 
         if not skip_root:
             tree = tree._replace(root_visit=tree.root_visit + 1)
@@ -66,9 +74,6 @@ def make_simulate(
         lane_root_expand = root_unexp & ~root_known
         # Terminal/solved unexpanded root: nothing to do (lane inactive).
 
-        # ------------------------------------------------------------------
-        # Forward: masked lock-step descent.
-        # ------------------------------------------------------------------
         zi = jnp.zeros((b,), jnp.int32)
         zb = jnp.zeros((b,), bool)
         init = dict(
@@ -92,8 +97,11 @@ def make_simulate(
         def cond(st):
             return (st["depth"] < max_depth) & jnp.any(st["active"])
 
+        slot_iota = jnp.arange(tree.child_visit.shape[2], dtype=jnp.int32)
+
         def body(st):
             cur, active = st["cur"], st["active"]
+            # One fused gather group per level: all 8 row stats share `cur`.
             row_action = _rows(tree.child_action, bar, cur)
             row_flag = _rows(tree.child_flag, bar, cur)
             row_ply = _rows(tree.child_ply, bar, cur)
@@ -101,6 +109,7 @@ def make_simulate(
             row_prob = _rows(tree.child_prob, bar, cur)
             row_std = _rows(tree.child_std, bar, cur)
             row_visit = _rows(tree.child_visit, bar, cur)
+            row_node = _rows(tree.child_node, bar, cur)
 
             valid = row_action >= 0
             q = ev.negated_float(row_flag, row_ply, row_value)
@@ -127,11 +136,20 @@ def make_simulate(
             path_node = st["path_node"].at[:, d].set(jnp.where(active, cur, -1))
             path_slot = st["path_slot"].at[:, d].set(jnp.where(active, slot, -1))
 
-            cn = tree.child_node[bar, cur, slot]
-            cf = tree.child_flag[bar, cur, slot]
-            cp = tree.child_ply[bar, cur, slot]
-            cv = tree.child_value[bar, cur, slot]
-            cvisit = tree.child_visit[bar, cur, slot] + 1  # this sim's visit
+            # Child-at-slot stats from the rows already in registers (one-hot
+            # select on the VPU) — TPU dynamic gathers cost ~1us/row on the
+            # scalar core, so a second dependent gather group here would
+            # double the per-level latency.
+            oh = slot[:, None] == slot_iota[None, :]
+
+            def at_slot(row):
+                return jnp.sum(jnp.where(oh, row, jnp.zeros_like(row)), axis=-1)
+
+            cn = at_slot(row_node)
+            cf = at_slot(row_flag)
+            cp = at_slot(row_ply)
+            cv = at_slot(row_value)
+            cvisit = at_slot(row_visit) + 1  # this sim's visit
 
             unexp = cn < 0
             new_known = active & unexp & (cf != ev.VALUE)
@@ -183,9 +201,7 @@ def make_simulate(
         ].add(upd)
         tree = tree._replace(child_visit=child_visit, overflow=overflow)
 
-        # ------------------------------------------------------------------
-        # Leaf environment, terminal discovery, network evaluation.
-        # ------------------------------------------------------------------
+        # Leaf environment + terminal discovery.
         parent_env = jax.tree.map(lambda a: a[bar, leaf_parent], tree.node_env)
         leaf_action = tree.child_action[bar, leaf_parent, leaf_slot].clip(0)
         stepped = step_batch(parent_env, leaf_action)
@@ -220,16 +236,37 @@ def make_simulate(
         known_p = jnp.where(leaf_term, 0, known_p)
         known_v = jnp.where(leaf_term, 0.0, known_v)
 
-        lane_eval_leaf = stop_leaf & ~leaf_term
-        lane_eval_root = lane_root_expand & ~root_term
+        rec = dict(
+            path_node=path_node,
+            path_slot=path_slot,
+            length=length,
+            stop_known=stop_known,
+            known_f=known_f,
+            known_p=known_p,
+            known_v=known_v,
+            lane_eval_leaf=stop_leaf & ~leaf_term,
+            lane_eval_root=lane_root_expand & ~root_term,
+            lane_root_expand=lane_root_expand,
+            leaf_parent=leaf_parent,
+            leaf_slot=leaf_slot,
+            env_eval=env_eval,
+        )
+        return tree, rec
 
-        logits, v_net, var_net = evaluator(env_eval)
+    # ------------------------------------------------------------------
+    # Apply network evaluation: leaf/root statistics + guarded expansion.
+    # ------------------------------------------------------------------
+    def apply_eval(tree: Tree, rec, logits, v_net, var_net):
+        b, m, c = tree.child_visit.shape
+        bar = jnp.arange(b)
+        leaf_parent, leaf_slot = rec["leaf_parent"], rec["leaf_slot"]
+        lane_eval_leaf = rec["lane_eval_leaf"]
+        lane_eval_root = rec["lane_eval_root"]
+        lane_root_expand = rec["lane_root_expand"]
+        env_eval = rec["env_eval"]
         v_net = v_net.astype(jnp.float32)
         var_net = var_net.astype(jnp.float32)
 
-        # ------------------------------------------------------------------
-        # Leaf statistics update (raw value, no negation) + expansion.
-        # ------------------------------------------------------------------
         n_leaf = tree.child_visit[bar, leaf_parent, leaf_slot].astype(jnp.float32)
         old_v = tree.child_value[bar, leaf_parent, leaf_slot]
         old_s = tree.child_std[bar, leaf_parent, leaf_slot]
@@ -244,10 +281,12 @@ def make_simulate(
             ),
         )
         rn = tree.root_visit.astype(jnp.float32)
-        root_v_after = tree.root_value + (v_net - tree.root_value) / jnp.maximum(rn, 1.0)
-        root_s_after = tree.root_std + (jnp.sqrt(var_net) - tree.root_std) / jnp.maximum(
+        root_v_after = tree.root_value + (v_net - tree.root_value) / jnp.maximum(
             rn, 1.0
         )
+        root_s_after = tree.root_std + (
+            jnp.sqrt(var_net) - tree.root_std
+        ) / jnp.maximum(rn, 1.0)
         tree = tree._replace(
             root_value=jnp.where(lane_eval_root, root_v_after, tree.root_value),
             root_std=jnp.where(lane_eval_root, root_s_after, tree.root_std),
@@ -259,16 +298,25 @@ def make_simulate(
         masked_logits = jnp.where(legal, logits, NEG)
         top_vals, top_idx = jax.lax.top_k(masked_logits, c)
         valid_child = top_vals > NEG / 2
-        mx = jnp.max(jnp.where(valid_child, top_vals, -jnp.inf), axis=-1, keepdims=True)
+        mx = jnp.max(
+            jnp.where(valid_child, top_vals, -jnp.inf), axis=-1, keepdims=True
+        )
         ex = jnp.where(valid_child, jnp.exp(top_vals - mx), 0.0)
         probs = ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
 
+        # Guarded expansion: in batched-eval mode two slots may reach the
+        # same unexpanded leaf — only the first allocates a node.
+        already = (
+            tree.child_node[bar, leaf_parent, leaf_slot] >= 0
+        ) & ~lane_root_expand
         new_node = jnp.where(lane_root_expand, 0, tree.node_count)
         can_expand = lane_root_expand | (tree.node_count < m)
-        expanding = (lane_eval_leaf | lane_eval_root) & can_expand
+        expanding = (
+            (lane_eval_leaf | lane_eval_root) & can_expand & ~already
+        )
         exp2 = expanding[:, None]
 
-        def put_row(arr, row, fill=None):
+        def put_row(arr, row):
             old = arr[bar, new_node]
             return arr.at[bar, new_node].set(jnp.where(exp2, row, old))
 
@@ -294,13 +342,23 @@ def make_simulate(
         legal_count = jnp.sum(legal, axis=-1)
         tree = tree._replace(
             node_parent=tree.node_parent.at[bar, new_node].set(
-                jnp.where(expanding & stop_leaf, leaf_parent, tree.node_parent[bar, new_node])
+                jnp.where(
+                    expanding & lane_eval_leaf,
+                    leaf_parent,
+                    tree.node_parent[bar, new_node],
+                )
             ),
             node_slot=tree.node_slot.at[bar, new_node].set(
-                jnp.where(expanding & stop_leaf, leaf_slot, tree.node_slot[bar, new_node])
+                jnp.where(
+                    expanding & lane_eval_leaf,
+                    leaf_slot,
+                    tree.node_slot[bar, new_node],
+                )
             ),
             node_incomplete=tree.node_incomplete.at[bar, new_node].set(
-                jnp.where(expanding, legal_count > c, tree.node_incomplete[bar, new_node])
+                jnp.where(
+                    expanding, legal_count > c, tree.node_incomplete[bar, new_node]
+                )
             ),
             node_env=jax.tree.map(
                 lambda pool, val: pool.at[bar, new_node].set(
@@ -315,23 +373,42 @@ def make_simulate(
             ),
             child_node=tree.child_node.at[bar, leaf_parent, leaf_slot].set(
                 jnp.where(
-                    expanding & stop_leaf,
+                    expanding & lane_eval_leaf,
                     new_node,
                     tree.child_node[bar, leaf_parent, leaf_slot],
                 )
             ),
-            node_count=tree.node_count + (expanding & stop_leaf).astype(jnp.int32),
+            node_count=tree.node_count
+            + (expanding & lane_eval_leaf).astype(jnp.int32),
             overflow=tree.overflow
             + ((lane_eval_leaf | lane_eval_root) & ~can_expand).astype(jnp.int32),
         )
+        return tree
 
-        # ------------------------------------------------------------------
-        # Backward propagation.
-        # ------------------------------------------------------------------
-        active_bwd = stop_known | lane_eval_leaf
-        prop_f = jnp.where(stop_known, known_f, ev.VALUE)
-        prop_p = jnp.where(stop_known, known_p, 0)
-        prop_v = jnp.where(stop_known, known_v, ev.DISCOUNT * v_net)
+    # ------------------------------------------------------------------
+    # Backward propagation.
+    # ------------------------------------------------------------------
+    def backward(tree: Tree, rec, v_net, var_net, skip_root: bool, mode: str):
+        """mode: 'all' (known + leaf), 'known', or 'leaf'."""
+        b, m, c = tree.child_visit.shape
+        bar = jnp.arange(b)
+        path_node, path_slot = rec["path_node"], rec["path_slot"]
+        length = rec["length"]
+        stop_known = rec["stop_known"]
+        lane_eval_leaf = rec["lane_eval_leaf"]
+
+        if mode == "known":
+            active_bwd = stop_known
+        elif mode == "leaf":
+            active_bwd = lane_eval_leaf
+        else:
+            active_bwd = stop_known | lane_eval_leaf
+        v_net = v_net.astype(jnp.float32)
+        var_net = var_net.astype(jnp.float32)
+
+        prop_f = jnp.where(stop_known, rec["known_f"], ev.VALUE)
+        prop_p = jnp.where(stop_known, rec["known_p"], 0)
+        prop_v = jnp.where(stop_known, rec["known_v"], ev.DISCOUNT * v_net)
         prop_var = jnp.where(stop_known, 0.0, ev.DISCOUNT**2 * var_net)
 
         min_j = 1 if skip_root else 0
@@ -340,6 +417,8 @@ def make_simulate(
         def bcond(carry):
             return carry["j"] >= min_j
 
+        slot_iota = jnp.arange(c, dtype=jnp.int32)
+
         def bbody(carry):
             j = carry["j"]
             tr: Tree = carry["tree"]
@@ -347,25 +426,46 @@ def make_simulate(
             node_j = path_node[bar, j.clip(0)].clip(0)
             is_root = j == 0
 
-            # Node stats (from parent slot, or root arrays).
             pn = jnp.where(is_root, 0, path_node[bar, (j - 1).clip(0)]).clip(0)
             ps = jnp.where(is_root, 0, path_slot[bar, (j - 1).clip(0)]).clip(0)
-            sf = jnp.where(is_root, tr.root_flag, tr.child_flag[bar, pn, ps])
-            sp = jnp.where(is_root, tr.root_ply, tr.child_ply[bar, pn, ps])
-            sv = jnp.where(is_root, tr.root_value, tr.child_value[bar, pn, ps])
-            ss = jnp.where(is_root, tr.root_std, tr.child_std[bar, pn, ps])
-            svisit = jnp.where(is_root, tr.root_visit, tr.child_visit[bar, pn, ps])
+
+            # ONE stacked gather group fetches both rows this level needs:
+            # the children of node_j (solver inputs) and the parent row pn
+            # (stats of the slot being updated) — dynamic row access is
+            # scalar-core latency-bound, so group count dominates cost.
+            both = jnp.stack([node_j, pn], axis=1)  # [B, 2]
+            bar2 = bar[:, None]
+            g_action = tr.child_action[bar2, both]  # [B, 2, C]
+            g_flag = tr.child_flag[bar2, both]
+            g_ply = tr.child_ply[bar2, both]
+            g_value = tr.child_value[bar2, both]
+            g_std = tr.child_std[bar2, both]
+            g_visit = tr.child_visit[bar2, both]
+
+            oh = ps[:, None] == slot_iota[None, :]  # [B, C] parent-slot mask
+
+            def at_ps(row):
+                return jnp.sum(jnp.where(oh, row, jnp.zeros_like(row)), axis=-1)
+
+            # Node stats (from parent slot, or root arrays).
+            sf = jnp.where(is_root, tr.root_flag, at_ps(g_flag[:, 1]))
+            sp = jnp.where(is_root, tr.root_ply, at_ps(g_ply[:, 1]))
+            sv = jnp.where(is_root, tr.root_value, at_ps(g_value[:, 1]))
+            ss = jnp.where(is_root, tr.root_std, at_ps(g_std[:, 1]))
+            svisit = jnp.where(is_root, tr.root_visit, at_ps(g_visit[:, 1]))
 
             # Children of this node.
-            ca = _rows(tr.child_action, bar, node_j)
-            cfl = _rows(tr.child_flag, bar, node_j)
-            cpl = _rows(tr.child_ply, bar, node_j)
-            cva = _rows(tr.child_value, bar, node_j)
+            ca, cfl, cpl, cva = (
+                g_action[:, 0],
+                g_flag[:, 0],
+                g_ply[:, 0],
+                g_value[:, 0],
+            )
             validc_ = ca >= 0
             all_known = jnp.all(~validc_ | (cfl != ev.VALUE), axis=-1) & jnp.any(
                 validc_, axis=-1
             )
-            incomplete = tr.node_incomplete[bar, node_j]
+            incomplete = tr.node_incomplete[bar2, both][:, 0]  # same index group
             pf, pp, pv_ = carry["pf"], carry["pp"], carry["pv"]
             trigger = (pf == ev.LOSS) | (all_known & ~incomplete)
             mi = ev.argmin_eval(cfl, cpl, cva, validc_)
@@ -389,30 +489,36 @@ def make_simulate(
 
             upd_root = part & is_root
             upd_slot = part & ~is_root
+
+            # Blend the updated slot into the (already gathered) parent row
+            # and write the whole row back: one fused scatter group.
+            sel = upd_slot[:, None] & oh
+
+            def blend(row, new):
+                return jnp.where(sel, new[:, None].astype(row.dtype), row)
+
             tr = tr._replace(
                 root_flag=jnp.where(upd_root, new_f, tr.root_flag),
                 root_ply=jnp.where(upd_root, new_p, tr.root_ply),
                 root_value=jnp.where(upd_root, new_v, tr.root_value),
                 root_std=jnp.where(upd_root, new_s, tr.root_std),
-                child_flag=tr.child_flag.at[bar, pn, ps].set(
-                    jnp.where(upd_slot, new_f, tr.child_flag[bar, pn, ps])
+                child_flag=tr.child_flag.at[bar, pn].set(
+                    blend(g_flag[:, 1], new_f)
                 ),
-                child_ply=tr.child_ply.at[bar, pn, ps].set(
-                    jnp.where(upd_slot, new_p, tr.child_ply[bar, pn, ps])
+                child_ply=tr.child_ply.at[bar, pn].set(blend(g_ply[:, 1], new_p)),
+                child_value=tr.child_value.at[bar, pn].set(
+                    blend(g_value[:, 1], new_v)
                 ),
-                child_value=tr.child_value.at[bar, pn, ps].set(
-                    jnp.where(upd_slot, new_v, tr.child_value[bar, pn, ps])
-                ),
-                child_std=tr.child_std.at[bar, pn, ps].set(
-                    jnp.where(upd_slot, new_s, tr.child_std[bar, pn, ps])
-                ),
+                child_std=tr.child_std.at[bar, pn].set(blend(g_std[:, 1], new_s)),
             )
 
             # Outgoing propagated value.
             out_f = jnp.where(known_now, new_f, ev.VALUE)
             out_p = jnp.where(known_now, new_p, 0)
             out_v = jnp.where(known_now, new_v, negated * ev.DISCOUNT)
-            out_var = jnp.where(known_now, new_s * new_s, carry["pvar"] * ev.DISCOUNT**2)
+            out_var = jnp.where(
+                known_now, new_s * new_s, carry["pvar"] * ev.DISCOUNT**2
+            )
 
             return dict(
                 j=j - 1,
@@ -437,4 +543,74 @@ def make_simulate(
         )
         return carry["tree"]
 
+    # ------------------------------------------------------------------
+    # Public kernels.
+    # ------------------------------------------------------------------
+    def simulate(tree: Tree, beta, forced_slot=None, *, skip_root: bool = False):
+        b = tree.batch_size
+        beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (b,))
+        tree, rec = forward(tree, beta, forced_slot, skip_root)
+        logits, v_net, var_net = evaluator(rec["env_eval"])
+        tree = apply_eval(tree, rec, logits, v_net, var_net)
+        return backward(tree, rec, v_net, var_net, skip_root, mode="all")
+
+    def simulate_batch(tree: Tree, beta, k: int):
+        """K simulations per tree with ONE network call (mcts.rs:268-328).
+
+        Precondition: all roots expanded and unsolved-or-solved (run one
+        plain `simulate` first on a fresh tree).  Root statistics update
+        normally (no skip_root).
+        """
+        b = tree.batch_size
+        beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (b,))
+
+        def fwd_body(tree, _):
+            tree, rec = forward(tree, beta, None, False)
+            zero = jnp.zeros((b,), jnp.float32)
+            # Known stops (terminals, solved subtrees, depth clips) are
+            # backed up immediately, as the reference does.
+            tree = backward(tree, rec, zero, zero, False, mode="known")
+            return tree, rec
+
+        tree, recs = jax.lax.scan(fwd_body, tree, None, length=k)
+
+        # One network call over all K*B collected leaves.
+        flat_envs = jax.tree.map(
+            lambda x: x.reshape((k * b,) + x.shape[2:]), recs["env_eval"]
+        )
+        logits, v_net, var_net = evaluator(flat_envs)
+        logits = logits.reshape((k, b, -1))
+        v_net = v_net.reshape((k, b)).astype(jnp.float32)
+        var_net = var_net.reshape((k, b)).astype(jnp.float32)
+
+        def bwd_body(tree, inp):
+            rec, lg, vn, vr = inp
+            tree = apply_eval(tree, rec, lg, vn, vr)
+            tree = backward(tree, rec, vn, vr, False, mode="leaf")
+            return tree, None
+
+        tree, _ = jax.lax.scan(bwd_body, tree, (recs, logits, v_net, var_net))
+        return tree
+
+    simulate.phases = dict(forward=forward, apply_eval=apply_eval, backward=backward)
+    return simulate, simulate_batch
+
+
+def make_simulate(
+    eng: TakEngine,
+    evaluator: Callable,
+    max_depth: int = 48,
+):
+    """Build `simulate(tree, beta, forced_slot, skip_root) -> Tree`."""
+    simulate, _ = make_kernels(eng, evaluator, max_depth)
     return simulate
+
+
+def make_simulate_batch(
+    eng: TakEngine,
+    evaluator: Callable,
+    max_depth: int = 48,
+):
+    """Build `simulate_batch(tree, beta, k) -> Tree` (serve-path kernel)."""
+    _, simulate_batch = make_kernels(eng, evaluator, max_depth)
+    return simulate_batch

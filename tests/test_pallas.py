@@ -1,0 +1,62 @@
+"""Pallas kernel equality tests (interpreter mode on CPU) and the LCG
+closed-form identity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_simhash_pack_matches_reference_interpret():
+    from takzero_tpu.ops.pallas_kernels import simhash_pack, simhash_pack_reference
+
+    key = jax.random.PRNGKey(0)
+    for b, inp, bits in [(8, 96, 32), (128, 1296, 26), (64, 243, 12)]:
+        kx, km, key = jax.random.split(key, 3)
+        x = jax.random.normal(kx, (b, inp))
+        m = jax.random.normal(km, (inp, bits))
+        ref = np.asarray(simhash_pack_reference(x, m))
+        out = np.asarray(simhash_pack(x, m, interpret=True))
+        np.testing.assert_array_equal(out, ref)
+        assert out.dtype == np.uint32
+
+
+def test_lcg_closed_form_equals_serial_fold():
+    from takzero_tpu.models.agent import _LCG_A, _LCG_C, _lcg_closed_form
+
+    rng = np.random.default_rng(3)
+    for k in (1, 5, 333):
+        xs = rng.integers(0, 2**32, size=(4, k), dtype=np.uint32)
+        # Serial reference fold.
+        acc = np.zeros(4, np.uint32)
+        a, c = np.uint32(_LCG_A), np.uint32(_LCG_C)
+        for i in range(k):
+            acc = acc * a + c + xs[:, i]
+        weights, const = _lcg_closed_form(k)
+        closed = (
+            np.sum(
+                xs.astype(np.uint64) * np.asarray(weights, np.uint64)[None, :],
+                axis=-1,
+            )
+            + np.uint64(const)
+        ).astype(np.uint32)
+        np.testing.assert_array_equal(closed, acc)
+
+
+def test_lcghash_indices_still_deterministic():
+    """Same planes -> same bucket; different planes -> (almost surely)
+    different buckets; matches across calls (hash persistence contract)."""
+    from takzero_tpu.models.agent import lcghash_indices, new_agent
+    from takzero_tpu.models.network import NetConfig
+    from takzero_tpu.ops.repr import input_channels
+
+    cfg = NetConfig(n=3, half_komi=0, novelty="lcghash", hash_bits=20)
+    bundle = new_agent(cfg, seed=0)
+    c = input_channels(3)
+    key = jax.random.PRNGKey(1)
+    planes = jax.random.normal(key, (6, c, 3, 3))
+    i1 = np.asarray(lcghash_indices(cfg, bundle["hash_scale"], planes))
+    i2 = np.asarray(lcghash_indices(cfg, bundle["hash_scale"], planes))
+    np.testing.assert_array_equal(i1, i2)
+    assert (i1 < (1 << 20)).all()
+    assert len(set(i1.tolist())) > 1
