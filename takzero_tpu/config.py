@@ -31,9 +31,13 @@ NET_PRESETS: dict[str, NetConfig] = {
     "net4_ensemble": NetConfig(n=4, half_komi=4, novelty="ensemble"),
     # plain net (no novelty) — handy for small experiments
     "net4_plain": NetConfig(n=4, half_komi=4, novelty="none"),
-    # tiny test config
+    # tiny test configs
     "tiny3": NetConfig(
         n=3, half_komi=0, filters=16, blocks=2, novelty="simhash", hash_bits=12
+    ),
+    "tiny3_rnd": NetConfig(
+        n=3, half_komi=0, filters=16, blocks=2, novelty="rnd",
+        rnd_filters=8, rnd_blocks=1,
     ),
 }
 

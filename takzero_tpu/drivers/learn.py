@@ -29,7 +29,7 @@ from ..models.agent import new_agent
 from ..parallel import coordinator as co
 from ..tak import engine
 from ..train.data import make_batch, random_pretraining_targets
-from ..train.learner import make_optimizer, make_train_step
+from ..train.learner import init_opt, make_optimizer, make_train_step
 from ..utils import ckpt
 
 log = logging.getLogger("learn")
@@ -63,7 +63,7 @@ def main(argv=None) -> None:
     train_step = jax.jit(make_train_step(net_cfg, tx), static_argnames=("train_ube",))
 
     bundle = new_agent(net_cfg, seed=args.seed)
-    opt_state = tx.init(bundle["params"])
+    opt_state = init_opt(net_cfg, tx, bundle)
     resume = ckpt.model_path_with_most_steps(args.directory)
     if resume is not None:
         steps, path = resume
@@ -104,6 +104,22 @@ def main(argv=None) -> None:
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
 
     ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+
+    # RND variants: fixed early/late reference batches drive the min/max
+    # normalization refresh (learn/src/rnd_normalization.rs:48-77).
+    rnd_refs = None
+    if net_cfg.novelty == "rnd":
+        from ..eee.harness import random_plane_batch
+        from ..models.agent import rnd_update_normalization
+
+        rnd_refs = (
+            random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xE), 8, 64),
+            random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xF), 60, 64),
+        )
+        rnd_norm = jax.jit(
+            lambda b, e, l: rnd_update_normalization(net_cfg, b, e, l)
+        )
+        bundle = rnd_norm(bundle, *rnd_refs)
 
     sp_buffer = TargetBuffer(rng)
     re_buffer = TargetBuffer(rng)
@@ -176,6 +192,12 @@ def main(argv=None) -> None:
             "metrics.jsonl",
             [json.dumps({"step": model_steps, **m})],
         )
+        if rnd_refs is not None and model_steps % 100 == 0:
+            bundle = rnd_norm(bundle, *rnd_refs)
+            log.info(
+                "RND normalization: min=%.4f max=%.4f",
+                float(bundle["rnd_min"]), float(bundle["rnd_max"]),
+            )
         ckpt.save_latest_and_step(
             args.directory,
             model_steps,

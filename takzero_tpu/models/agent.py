@@ -170,6 +170,15 @@ def rnd_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
     return jnp.clip(norm, 0.0, 1.0) * MAXIMUM_VARIANCE
 
 
+def rnd_update_normalization(cfg: NetConfig, bundle, early_planes, late_planes):
+    """Refresh min/max from reference batches: min of the predictor error on
+    early-game positions, max on late-game (learn/src/rnd_normalization.rs:
+    75-77).  The bounds ride in the bundle, so they checkpoint with it."""
+    lo = jnp.min(rnd_raw(cfg, bundle, early_planes))
+    hi = jnp.max(rnd_raw(cfg, bundle, late_planes))
+    return {**bundle, "rnd_min": lo, "rnd_max": jnp.maximum(hi, lo + 1e-6)}
+
+
 # ---------------------------------------------------------------------------
 # Evaluator
 # ---------------------------------------------------------------------------

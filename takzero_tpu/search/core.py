@@ -217,16 +217,14 @@ def make_kernels(
         leaf_term = stop_leaf & (tk != 0)
         root_term = lane_root_expand & (tk != 0)
         # Terminal leaves become known with eval (tk, ply=0); std zeroed.
+        # Non-terminal lanes redirect to the scratch row so the stores are
+        # unconditional (no old-value gather / copy-on-write).
+        scratch = tree.child_visit.shape[1] - 1
+        t_node = jnp.where(leaf_term, leaf_parent, scratch)
         tree = tree._replace(
-            child_flag=tree.child_flag.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(leaf_term, tk, tree.child_flag[bar, leaf_parent, leaf_slot])
-            ),
-            child_ply=tree.child_ply.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(leaf_term, 0, tree.child_ply[bar, leaf_parent, leaf_slot])
-            ),
-            child_std=tree.child_std.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(leaf_term, 0.0, tree.child_std[bar, leaf_parent, leaf_slot])
-            ),
+            child_flag=tree.child_flag.at[bar, t_node, leaf_slot].set(tk),
+            child_ply=tree.child_ply.at[bar, t_node, leaf_slot].set(0),
+            child_std=tree.child_std.at[bar, t_node, leaf_slot].set(0.0),
             root_flag=jnp.where(root_term, tk, tree.root_flag),
             root_ply=jnp.where(root_term, 0, tree.root_ply),
             root_std=jnp.where(root_term, 0.0, tree.root_std),
@@ -272,12 +270,14 @@ def make_kernels(
         old_s = tree.child_std[bar, leaf_parent, leaf_slot]
         leaf_v_after = old_v + (v_net - old_v) / jnp.maximum(n_leaf, 1.0)
         leaf_s_after = old_s + (jnp.sqrt(var_net) - old_s) / jnp.maximum(n_leaf, 1.0)
+        # Scratch-redirected unconditional stores (see expansion below).
+        ls_node = jnp.where(lane_eval_leaf, leaf_parent, m - 1)
         tree = tree._replace(
-            child_value=tree.child_value.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(lane_eval_leaf, leaf_v_after, old_v)
+            child_value=tree.child_value.at[bar, ls_node, leaf_slot].set(
+                leaf_v_after
             ),
-            child_std=tree.child_std.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(lane_eval_leaf, leaf_s_after, old_s)
+            child_std=tree.child_std.at[bar, ls_node, leaf_slot].set(
+                leaf_s_after
             ),
         )
         rn = tree.root_visit.astype(jnp.float32)
@@ -306,19 +306,23 @@ def make_kernels(
 
         # Guarded expansion: in batched-eval mode two slots may reach the
         # same unexpanded leaf — only the first allocates a node.
+        capacity = m - 1  # last pool row is the write-sink scratch node
         already = (
             tree.child_node[bar, leaf_parent, leaf_slot] >= 0
         ) & ~lane_root_expand
-        new_node = jnp.where(lane_root_expand, 0, tree.node_count)
-        can_expand = lane_root_expand | (tree.node_count < m)
+        can_expand = lane_root_expand | (tree.node_count < capacity)
         expanding = (
             (lane_eval_leaf | lane_eval_root) & can_expand & ~already
         )
-        exp2 = expanding[:, None]
+        # Non-expanding lanes write to the scratch row, making every store
+        # below unconditional — a masked where(new, old) store costs an
+        # extra old-row gather and a copy-on-write per array per sim.
+        new_node = jnp.where(
+            expanding, jnp.where(lane_root_expand, 0, tree.node_count), capacity
+        )
 
         def put_row(arr, row):
-            old = arr[bar, new_node]
-            return arr.at[bar, new_node].set(jnp.where(exp2, row, old))
+            return arr.at[bar, new_node].set(row.astype(arr.dtype))
 
         tree = tree._replace(
             child_action=put_row(
@@ -340,46 +344,28 @@ def make_kernels(
             child_node=put_row(tree.child_node, jnp.full((b, c), -1, jnp.int32)),
         )
         legal_count = jnp.sum(legal, axis=-1)
+        leaf_expand = expanding & lane_eval_leaf
         tree = tree._replace(
             node_parent=tree.node_parent.at[bar, new_node].set(
-                jnp.where(
-                    expanding & lane_eval_leaf,
-                    leaf_parent,
-                    tree.node_parent[bar, new_node],
-                )
+                jnp.where(leaf_expand, leaf_parent, -1)
             ),
             node_slot=tree.node_slot.at[bar, new_node].set(
-                jnp.where(
-                    expanding & lane_eval_leaf,
-                    leaf_slot,
-                    tree.node_slot[bar, new_node],
-                )
+                jnp.where(leaf_expand, leaf_slot, -1)
             ),
             node_incomplete=tree.node_incomplete.at[bar, new_node].set(
-                jnp.where(
-                    expanding, legal_count > c, tree.node_incomplete[bar, new_node]
-                )
+                legal_count > c
             ),
             node_env=jax.tree.map(
                 lambda pool, val: pool.at[bar, new_node].set(
-                    jnp.where(
-                        expanding.reshape((-1,) + (1,) * (val.ndim - 1)),
-                        val,
-                        pool[bar, new_node],
-                    )
+                    val.astype(pool.dtype)
                 ),
                 tree.node_env,
                 env_eval,
             ),
-            child_node=tree.child_node.at[bar, leaf_parent, leaf_slot].set(
-                jnp.where(
-                    expanding & lane_eval_leaf,
-                    new_node,
-                    tree.child_node[bar, leaf_parent, leaf_slot],
-                )
-            ),
-            node_count=tree.node_count
-            + (expanding & lane_eval_leaf).astype(jnp.int32),
+            child_node=tree.child_node.at[
+                bar, jnp.where(leaf_expand, leaf_parent, capacity), leaf_slot
+            ].set(new_node),
+            node_count=tree.node_count + leaf_expand.astype(jnp.int32),
             overflow=tree.overflow
             + ((lane_eval_leaf | lane_eval_root) & ~can_expand).astype(jnp.int32),
         )

@@ -61,7 +61,14 @@ class Tree(NamedTuple):
 
     @property
     def max_nodes(self) -> int:
-        return self.child_visit.shape[1]
+        # The last pool row is a write-sink scratch node: expansion writes
+        # are unconditional (no old-value gather / copy-on-write in the hot
+        # path) and land there when a lane has nothing to expand.
+        return self.child_visit.shape[1] - 1
+
+    @property
+    def scratch_node(self) -> int:
+        return self.child_visit.shape[1] - 1
 
     @property
     def max_children(self) -> int:
@@ -77,7 +84,7 @@ def init_tree(
     """Fresh trees for a batch of root environments ([B]-leading pytree)."""
     del eng
     b = root_envs.ply.shape[0]
-    m, c = max_nodes, max_children
+    m, c = max_nodes + 1, max_children  # +1: write-sink scratch row
 
     def tile_env(x):
         return jnp.broadcast_to(x[:, None], (b, m) + x.shape[1:])

@@ -70,27 +70,76 @@ def make_optimizer(learning_rate: float = 1e-4):
     return optax.adam(learning_rate)  # reference: Adam lr=1e-4 (learn:122)
 
 
+def trainable_of(cfg: NetConfig, bundle):
+    """The pytree the optimizer tracks: net params (+ RND predictor)."""
+    if cfg.novelty == "rnd":
+        return (bundle["params"], bundle["rnd_params"])
+    return bundle["params"]
+
+
+def init_opt(cfg: NetConfig, tx, bundle):
+    return tx.init(trainable_of(cfg, bundle))
+
+
 def make_train_step(cfg: NetConfig, tx=None, axis_name: str | None = None):
     """Build `train_step(bundle, opt_state, batch, train_ube) -> ...`.
 
     With `axis_name` set, gradients and batch stats are averaged across
-    that mesh axis (for use under shard_map).
+    that mesh axis (for use under shard_map).  For RND variants the
+    predictor trains jointly on the batch inputs (the reference's
+    `loss_rnd`, learn/src/main.rs:404; the frozen target gets zero grads
+    via stop_gradient).
     """
     tx = tx or make_optimizer()
 
     def train_step(bundle, opt_state, batch: Batch, train_ube: bool):
-        grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(cfg, p, bundle["batch_stats"], batch, train_ube),
-            has_aux=True,
-        )
-        (_, (new_stats, metrics)), grads = grad_fn(bundle["params"])
+        rnd = cfg.novelty == "rnd"
+
+        def full_loss(trainable):
+            params = trainable[0] if rnd else trainable
+            loss, (new_stats, metrics) = loss_fn(
+                cfg, params, bundle["batch_stats"], batch, train_ube
+            )
+            aux_updates = {}
+            if rnd:
+                from ..models.network import RndPair
+
+                err, mut = RndPair(cfg).apply(
+                    {
+                        "params": trainable[1],
+                        "batch_stats": bundle["rnd_batch_stats"],
+                    },
+                    batch.planes,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss_rnd = jnp.mean(err)
+                loss = loss + loss_rnd
+                metrics = {**metrics, "loss_rnd": loss_rnd, "loss": loss}
+                aux_updates["rnd_batch_stats"] = mut["batch_stats"]
+            return loss, (new_stats, metrics, aux_updates)
+
+        trainable = trainable_of(cfg, bundle)
+        grad_fn = jax.value_and_grad(full_loss, has_aux=True)
+        (_, (new_stats, metrics, aux)), grads = grad_fn(trainable)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
-        updates, opt_state = tx.update(grads, opt_state, bundle["params"])
-        params = optax.apply_updates(bundle["params"], updates)
-        bundle = {**bundle, "params": params, "batch_stats": new_stats}
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        if rnd:
+            params, rnd_params = new_trainable
+            bundle = {
+                **bundle,
+                "params": params,
+                "rnd_params": rnd_params,
+                "batch_stats": new_stats,
+                **aux,
+            }
+        else:
+            bundle = {**bundle, "params": new_trainable, "batch_stats": new_stats}
         if cfg.novelty in ("simhash", "lcghash"):
             bundle = hash_update(cfg, bundle, batch.planes)
         return bundle, opt_state, metrics
