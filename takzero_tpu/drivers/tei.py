@@ -29,7 +29,7 @@ from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
 from ..search.core import make_kernels
 from ..search.policy import select_best_slot, slot_action
-from ..search.tree import init_tree
+from ..search.tree import descend_host, init_tree
 from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
 from ..utils import ckpt
 
@@ -46,6 +46,8 @@ class TeiEngine:
         self.bundle = None
         self.position = None
         self._run = None
+        self.tree = None  # reused search tree (descend across positions)
+        self.tree_history = None
 
     def send(self, line: str) -> None:
         print(line, file=self.out, flush=True)
@@ -79,18 +81,42 @@ class TeiEngine:
         i = 0
         if parts[i] == "startpos":
             state = self.eng.initial()
+            key = ("startpos",)
             i += 1
         elif parts[i] == "tps":
             # TPS is three whitespace-separated fields.
             tps = " ".join(parts[i + 1 : i + 4])
             state = tps_to_state(self.cfg.n, tps)
+            key = ("tps", tps)
             i += 4
         else:
             raise ValueError(f"bad position: {parts}")
+        moves: list[str] = []
         if i < len(parts) and parts[i] == "moves":
-            for mv in parts[i + 1 :]:
+            moves = parts[i + 1 :]
+            for mv in moves:
                 state = self.eng.step_jit(state, ptn_to_action(self.cfg.n, mv))
         self.position = state
+
+        # Tree reuse: if the new position extends the searched one, descend
+        # through the extra moves (tei/src/main.rs:174-201).
+        new_hist = key + tuple(moves)
+        tree = self.tree
+        if tree is not None and self.tree_history is not None:
+            old = self.tree_history
+            if new_hist[: len(old)] == old and len(new_hist) > len(old):
+                for mv in new_hist[len(old) :]:
+                    if tree is None:
+                        break
+                    tree = descend_host(
+                        tree, ptn_to_action(self.cfg.n, mv)
+                    )
+            elif new_hist != old:
+                tree = None
+        else:
+            tree = None
+        self.tree = tree
+        self.tree_history = new_hist
 
     def cmd_go(self, parts: list[str]):
         self.ensure_ready()
@@ -114,10 +140,12 @@ class TeiEngine:
         max_nodes = opts.get("nodes", 10**9)
 
         envs = jax.tree.map(lambda x: jnp.asarray(x)[None], self.position)
-        tree = init_tree(
-            self.eng, envs, max_nodes=1 << 14,
-            max_children=256 if self.cfg.n >= 6 else 128,
-        )
+        tree = self.tree
+        if tree is None or tree.max_nodes != (1 << 14):
+            tree = init_tree(
+                self.eng, envs, max_nodes=1 << 14,
+                max_children=256 if self.cfg.n >= 6 else 128,
+            )
         start = time.time()
         nodes = 0
         while True:
@@ -136,6 +164,7 @@ class TeiEngine:
                 break  # solved
         slot = select_best_slot(tree)
         action = int(np.asarray(slot_action(tree, slot))[0])
+        self.tree = tree  # keep for descend on the next position command
         self.send(f"bestmove {action_to_ptn(self.cfg.n, action)}")
 
     def _info(self, tree, nodes, elapsed):
@@ -202,6 +231,8 @@ class TeiEngine:
         elif cmd == "teinewgame":
             self.ensure_ready()
             self.position = self.eng.initial()
+            self.tree = None
+            self.tree_history = None
         elif cmd == "position":
             self.cmd_position(rest)
         elif cmd == "go":

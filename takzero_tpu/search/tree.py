@@ -124,3 +124,88 @@ def reset_lanes(tree: Tree, mask: jnp.ndarray, new_envs: TakState) -> Tree:
         return jnp.where(m, new, old)
 
     return jax.tree.map(pick, fresh, tree)
+
+
+def descend_host(tree: Tree, action: int):
+    """Re-root a single tree (B=1) at the root child playing `action`.
+
+    Host-side numpy re-rooting — the serve path's tree reuse across
+    ``position`` commands (reference Node::descend, node/mod.rs:95-102;
+    tei/src/main.rs:174-201).  Returns a new Tree whose node 0 is the
+    chosen child's subtree, or None when that child was never expanded
+    (caller rebuilds from the stepped environment).
+    """
+    import numpy as np
+
+    assert tree.batch_size == 1, "descend_host reuses single-game trees"
+    ca = np.asarray(tree.child_action[0])
+    cn = np.asarray(tree.child_node[0])
+    slots = np.nonzero(ca[0] == action)[0]
+    if len(slots) == 0:
+        return None
+    slot = int(slots[0])
+    r = int(cn[0, slot])
+    if r < 0:
+        return None
+
+    # BFS over child links from the new root.
+    order = [r]
+    seen = {r}
+    for node in order:
+        for child in cn[node]:
+            c = int(child)
+            if c >= 0 and c not in seen:
+                seen.add(c)
+                order.append(c)
+    remap = np.full(cn.shape[0], -1, np.int64)
+    for new, old in enumerate(order):
+        remap[old] = new
+    k = len(order)
+    take = np.asarray(order)
+
+    def copy_pool(arr, fill):
+        a = np.asarray(arr[0])
+        out = np.full_like(a, fill)
+        out[:k] = a[take]
+        return jnp.asarray(out[None])
+
+    def copy_env(x):
+        a = np.asarray(x[0])
+        out = a.copy()
+        out[:k] = a[take]
+        return jnp.asarray(out[None])
+
+    child_node = np.asarray(tree.child_node[0])
+    new_child_node = np.full_like(child_node, -1)
+    mapped = child_node[take]
+    new_child_node[:k] = np.where(mapped >= 0, remap[mapped.clip(0)], -1)
+
+    # Parent pointers remap into the new numbering; the new root has none.
+    old_parent = np.asarray(tree.node_parent[0])
+    new_parent = np.full_like(old_parent, -1)
+    taken_parents = old_parent[take]
+    new_parent[:k] = np.where(taken_parents >= 0, remap[taken_parents.clip(0)], -1)
+    new_parent[0] = -1
+
+    return Tree(
+        node_parent=jnp.asarray(new_parent[None]),
+        node_slot=copy_pool(tree.node_slot, -1).at[0, 0].set(-1),
+        node_incomplete=copy_pool(tree.node_incomplete, False),
+        node_env=jax.tree.map(copy_env, tree.node_env),
+        node_count=jnp.asarray([k], jnp.int32),
+        child_action=copy_pool(tree.child_action, -1),
+        child_logit=copy_pool(tree.child_logit, 0.0),
+        child_prob=copy_pool(tree.child_prob, 0.0),
+        child_visit=copy_pool(tree.child_visit, 0),
+        child_flag=copy_pool(tree.child_flag, 0),
+        child_ply=copy_pool(tree.child_ply, 0),
+        child_value=copy_pool(tree.child_value, 0.0),
+        child_std=copy_pool(tree.child_std, 0.0),
+        child_node=jnp.asarray(new_child_node[None]),
+        root_visit=tree.child_visit[:, 0, slot],
+        root_flag=tree.child_flag[:, 0, slot],
+        root_ply=tree.child_ply[:, 0, slot],
+        root_value=tree.child_value[:, 0, slot],
+        root_std=tree.child_std[:, 0, slot],
+        overflow=jnp.zeros((1,), jnp.int32),
+    )

@@ -1,0 +1,100 @@
+"""Tree reuse via host-side re-rooting (reference Node::descend +
+tei tree reuse)."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from takzero_tpu.search import eval as ev
+from takzero_tpu.search.agents import simple_evaluator
+from takzero_tpu.search.core import make_kernels
+from takzero_tpu.search.tree import descend_host, init_tree
+from takzero_tpu.tak import engine, ptn_to_action
+
+
+def _searched_tree(eng, sims=64):
+    simulate, simulate_batch = make_kernels(eng, simple_evaluator(eng), max_depth=16)
+
+    @jax.jit
+    def run(tree):
+        tree = simulate(tree, jnp.zeros(1))
+        return simulate_batch(tree, jnp.zeros(1), sims - 1)
+
+    s = eng.initial()
+    for mv in ("a3", "c1"):
+        s = eng.step_jit(s, ptn_to_action(eng.n, mv))
+    envs = jax.tree.map(lambda x: x[None], s)
+    return run(init_tree(eng, envs, 256, 48)), s
+
+
+def test_descend_preserves_subtree_statistics():
+    eng = engine(3)
+    tree, state = _searched_tree(eng)
+    ca = np.asarray(tree.child_action[0, 0])
+    cv = np.asarray(tree.child_visit[0, 0])
+    cn = np.asarray(tree.child_node[0, 0])
+    # Pick the most-visited expanded child.
+    slot = int(np.argmax(np.where(cn >= 0, cv, -1)))
+    action = int(ca[slot])
+    old_node = int(cn[slot])
+
+    sub = descend_host(tree, action)
+    assert sub is not None
+    # Root stats equal the old edge stats.
+    assert int(sub.root_visit[0]) == int(cv[slot])
+    assert float(sub.root_value[0]) == float(tree.child_value[0, 0, slot])
+    # Root children equal the old child-node's children.
+    np.testing.assert_array_equal(
+        np.asarray(sub.child_action[0, 0]),
+        np.asarray(tree.child_action[0, old_node]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sub.child_visit[0, 0]),
+        np.asarray(tree.child_visit[0, old_node]),
+    )
+    # Root env is the stepped position.
+    stepped = eng.step_jit(state, action)
+    np.testing.assert_array_equal(
+        np.asarray(sub.node_env.height[0, 0]), np.asarray(stepped.height)
+    )
+    # Node count equals the reachable-subtree size, and further search works.
+    k = int(sub.node_count[0])
+    assert 1 <= k < int(tree.node_count[0])
+    simulate, _ = make_kernels(eng, simple_evaluator(eng), max_depth=16)
+    sub2 = jax.jit(simulate)(sub, jnp.zeros(1))
+    assert int(sub2.root_visit[0]) == int(sub.root_visit[0]) + 1
+
+
+def test_descend_unexpanded_child_returns_none():
+    eng = engine(3)
+    tree, _ = _searched_tree(eng, sims=4)
+    ca = np.asarray(tree.child_action[0, 0])
+    cn = np.asarray(tree.child_node[0, 0])
+    unexpanded = [int(a) for a, n in zip(ca, cn) if a >= 0 and n < 0]
+    if unexpanded:  # nearly always true at 4 sims
+        assert descend_host(tree, unexpanded[0]) is None
+    assert descend_host(tree, 10_000) is None  # action not a child
+
+
+def test_tei_reuses_tree_across_positions():
+    from takzero_tpu.drivers.tei import TeiEngine
+
+    out = io.StringIO()
+    e = TeiEngine("tiny3", None, out=out)
+    e.handle("tei")
+    e.handle("isready")
+    e.handle("position startpos moves a3 c1")
+    e.handle("go nodes 128 movetime 60000")
+    assert e.tree is not None
+    visits_before = int(e.tree.root_visit[0])
+    assert visits_before >= 128
+    # Extend the position by one searched move: tree must descend, not reset.
+    best = out.getvalue().splitlines()[-1].split()[-1]
+    e.handle(f"position startpos moves a3 c1 {best}")
+    assert e.tree is not None
+    assert 0 < int(e.tree.root_visit[0]) < visits_before
+    # Unrelated position: tree dropped.
+    e.handle("position startpos moves b2")
+    assert e.tree is None
