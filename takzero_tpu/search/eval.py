@@ -22,6 +22,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 DISCOUNT = 0.997
+# Geometric-series sum of squared discounts (reference search/mod.rs:8;
+# declared for UBE-style horizon math, unused by the training loop).
+SERIES_DISCOUNT = 1.0 / (1.0 - DISCOUNT * DISCOUNT)
 CONTEMPT = -0.05
 
 VALUE, WIN, LOSS, DRAW = 0, 1, 2, 3

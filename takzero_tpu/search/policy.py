@@ -72,6 +72,23 @@ def ube_target(tree: Tree, beta) -> jnp.ndarray:
     return jnp.where(solved, 0.0, std * std)
 
 
+def uct_scores(tree: Tree, node_visit, beta) -> jnp.ndarray:
+    """Classic UCT scores over root child slots (policy.rs:104-117): the
+    reference's declared-but-unused alternative to PUCT; kept for search
+    experiments (tools/analyze_search.py compares selection formulas)."""
+    ch = root_children(tree)
+    valid = ch["action"] >= 0
+    q = ev.negated_float(ch["flag"], ch["ply"], ch["value"])
+    nv = jnp.maximum(jnp.asarray(node_visit, jnp.float32), 1.0)
+    if nv.ndim == 1:
+        nv = nv[:, None]
+    u = jnp.sqrt(
+        2.0 * jnp.log(nv) / jnp.maximum(ch["visit"].astype(jnp.float32), 1e-9)
+    )
+    beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (q.shape[0],))
+    return jnp.where(valid, q + u + beta[:, None] * ch["std"], -jnp.inf)
+
+
 def select_best_slot(tree: Tree) -> jnp.ndarray:
     """[B] child slot per node/mod.rs:132-163."""
     ch = root_children(tree)
