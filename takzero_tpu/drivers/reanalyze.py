@@ -72,6 +72,14 @@ def main(argv=None) -> None:
     parser.add_argument("--budget", type=int, default=None)
     parser.add_argument("--sampled", type=int, default=None)
     parser.add_argument("--min-positions", type=int, default=None)
+    parser.add_argument(
+        "--exploration-positions",
+        type=int,
+        default=0,
+        help="positions per batch drawn from replays-exploration.txt "
+        "(the reference's `exploration` feature, reanalyze:42-47,119-133)",
+    )
+    parser.add_argument("--exploration-buffer", type=int, default=128_000)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -106,6 +114,8 @@ def main(argv=None) -> None:
     bundle = new_agent(net_cfg, seed=args.seed)
     positions = PositionBuffer(rng)
     tail = co.Tailer(args.directory, co.REPLAYS)
+    expl_positions = PositionBuffer(rng, max_len=args.exploration_buffer)
+    expl_tail = co.Tailer(args.directory, co.REPLAYS_EXPLORATION)
     steps = 0
     while args.max_steps is None or steps < args.max_steps:
         steps += 1
@@ -123,6 +133,8 @@ def main(argv=None) -> None:
                 log.warning("cannot load model (%s), retrying later", e)
 
         positions.extend(explode_replays(eng, tail.read_new_lines()))
+        if args.exploration_positions:
+            expl_positions.extend(explode_replays(eng, expl_tail.read_new_lines()))
         if len(positions) < cfg.min_positions:
             if args.max_steps is not None:
                 log.info("only %d positions, stopping (test mode)", len(positions))
@@ -131,7 +143,11 @@ def main(argv=None) -> None:
             time.sleep(60)
             continue
 
-        rows = np.stack(positions.sample(cfg.batch_size))
+        n_expl = min(args.exploration_positions, len(expl_positions))
+        picks = positions.sample(cfg.batch_size - n_expl)
+        if n_expl:
+            picks = picks + expl_positions.sample(n_expl)
+        rows = np.stack(picks)
         states = nl.unpack_states(net_cfg.n, rows)
         tps_batch = [
             state_to_tps(net_cfg.n, jax.tree.map(lambda x: x[i], states))

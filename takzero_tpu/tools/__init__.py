@@ -1,6 +1,18 @@
 """Offline analysis tools (reference python/ directory, SURVEY.md §2.3).
 
-Native replacements: the Bayes-Elo fit is an in-process Bradley-Terry
-maximum-likelihood fit (no bayeselo.exe subprocess); plotting is gated on
-matplotlib availability so the data paths run headless.
+Mapping to the reference scripts:
+
+* elo.py                      -> tools/elo.py (native Bradley-Terry fit,
+                                 no bayeselo.exe subprocess)
+* get_match_results.py        -> tools/match_results.py
+* extract_from_logs.py        -> tools/logs.py (+ metrics.jsonl support)
+* plot_elo_data.py, plot_eee.py, novelty_per_depth.py -> tools/plots.py
+* analyze_search.py + improved_policy.py -> tools/analyze_search.py
+  (root-dump metrics incl. the sigma-variant comparison)
+* action_space.py             -> tools/action_space.py
+* generate_openings.py        -> tools/openings.py
+* concat_out.py               -> tools/concat_out.py
+* replay_buffer_uniqueness.py -> drivers/graph.py (uniqueness curves)
+
+Plotting is gated on matplotlib availability so data paths run headless.
 """
