@@ -75,6 +75,15 @@ class PuzzleResult:
 
 
 def fetch_puzzles(db_path, sql, size, depth):
+    # The reference SQL requires both capstones placed (a 6x6-data filter,
+    # puzzle/src/main.rs:132-166); boards without capstones skip it.
+    if size < 5:
+        sql = sql.replace('AND instr(tps, "1C") > 0\n', "").replace(
+            'AND instr(tps, "2C") > 0\n', ""
+        )
+        sql = "\n".join(
+            line for line in sql.splitlines() if "instr(tps" not in line
+        )
     con = sqlite3.connect(db_path)
     try:
         rows = con.execute(sql, {"size": size, "depth": depth}).fetchall()
