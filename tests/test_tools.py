@@ -88,9 +88,12 @@ def test_puzzle_benchmark_on_known_tinue(tmp_path):
     assert res.solved == 1
     assert res.proven == 1  # win-in-1 must be solver-proven with budget 16
 
-    # The reference SQL shapes are valid against this schema.
-    assert fetch_puzzles(db, TINUE_SQL, 3, 1) == []  # filtered by 1C/2C
+    # Size-aware SQL: the capstone filter only applies to boards with
+    # capstones (>= 5), so the 3x3 row is returned here...
+    assert len(fetch_puzzles(db, TINUE_SQL, 3, 1)) == 1
     assert fetch_puzzles(db, AVOIDANCE_SQL, 3, 2) == []
+    # ...but the reference's 6x6 query shape (with the filter) stays valid.
+    assert fetch_puzzles(db, TINUE_SQL, 6, 3) == []
 
 
 def test_tei_handshake_and_bestmove():
