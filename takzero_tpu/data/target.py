@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..tak import action_to_ptn, ptn_to_action, state_to_tps, tps_to_state
+from ..tak import action_to_ptn, ptn_to_action, tps_to_state
 from ..tak.engine import TakEngine
 
 
@@ -103,7 +103,6 @@ def result_string(eng: TakEngine, state) -> str:
         return ""
     if res == 2:
         return "1/2-1/2"
-    import jax.numpy as jnp  # noqa: F401
 
     roads = np.asarray(eng._roads(state))
     road = bool(roads[res])

@@ -99,20 +99,21 @@ def main(argv=None) -> None:
             "step %d: move for %d games in %.2fs; %d targets, %d replays",
             steps, sp_cfg.batch, time.time() - start, len(targets), len(replays),
         )
-        if targets:
-            co.append_lines(
-                args.directory, co.TARGETS_SELFPLAY, [t.to_line() for t in targets]
-            )
-        if replays:
-            co.append_lines(
-                args.directory, co.REPLAYS, [r.to_line() for r in replays]
-            )
-        if exploration_replays:
-            co.append_lines(
-                args.directory,
-                co.REPLAYS_EXPLORATION,
-                [r.to_line() for r in exploration_replays],
-            )
+        # On append failure the content is dumped into the log instead of
+        # lost (reference selfplay/src/main.rs:332-344).
+        for name, items in (
+            (co.TARGETS_SELFPLAY, targets),
+            (co.REPLAYS, replays),
+            (co.REPLAYS_EXPLORATION, exploration_replays),
+        ):
+            if not items:
+                continue
+            lines = [x.to_line() for x in items]
+            try:
+                co.append_lines(args.directory, name, lines)
+            except OSError as e:
+                log.error("cannot append to %s (%s); dumping:\n%s",
+                          name, e, "\n".join(lines))
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ from ..search import eval as ev
 from ..tak import engine
 from ..train.data import make_batch
 from ..train.learner import MINIMUM_UBE_TARGET, Batch, F32_MIN
-from .harness import planes_of, reference_batches
+from .harness import reference_batches
 from .rnd import CSV_HEADER, REF_NAMES
 
 
