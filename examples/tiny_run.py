@@ -41,10 +41,20 @@ def main(argv=None):
     parser.add_argument("--pretrain-steps", type=int, default=150)
     parser.add_argument("--eval-games", type=int, default=64)
     parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--size", type=int, default=3)
+    parser.add_argument("--half-komi", type=int, default=0)
+    parser.add_argument("--filters", type=int, default=16)
+    parser.add_argument("--blocks", type=int, default=2)
+    parser.add_argument("--budget", type=int, default=48)
+    parser.add_argument("--sampled", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--out", default="tiny_run.json")
     args = parser.parse_args(argv)
 
-    cfg = NET_PRESETS["tiny3"]
+    from takzero_tpu.models.network import NetConfig
+    cfg = NetConfig(n=args.size, half_komi=args.half_komi,
+                    filters=args.filters, blocks=args.blocks,
+                    novelty="simhash", hash_bits=16)
     eng = engine(cfg.n, half_komi=cfg.half_komi)
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -52,7 +62,7 @@ def main(argv=None):
 
     bundle = new_agent(cfg, seed=args.seed)
     init_bundle = jax.tree.map(lambda x: x, bundle)  # snapshot
-    tx = make_optimizer(1e-3)
+    tx = make_optimizer(args.lr)
     opt_state = init_opt(cfg, tx, bundle)
     train_step = jax.jit(make_train_step(cfg, tx), static_argnames=("train_ube",))
 
@@ -64,9 +74,11 @@ def main(argv=None):
     print(f"pretrain done ({time.time()-t0:.0f}s): loss={float(m['loss']):.3f}")
 
     # Selfplay <-> learn.
-    sp_cfg = selfplay_preset(
-        "tiny3", batch=args.batch, search_budget=48, sampled_actions=8,
-        max_children=48,
+    from takzero_tpu.selfplay import SelfplayConfig
+    sp_cfg = SelfplayConfig(
+        batch=args.batch, search_budget=args.budget,
+        sampled_actions=args.sampled,
+        max_children=64 if args.size <= 4 else 128, max_depth=40,
     )
     evaluator = make_net_evaluate(cfg, eng)
     sp = SelfplayEngine(eng, sp_cfg, evaluator)
@@ -94,8 +106,9 @@ def main(argv=None):
 
     # Final vs initial, both colors from shared random openings.
     compete = make_compete(
-        eng, evaluator, sampled_actions=8, search_budget=48, max_children=48,
-        max_depth=32,
+        eng, evaluator, sampled_actions=args.sampled,
+        search_budget=args.budget,
+        max_children=64 if args.size <= 4 else 128, max_depth=40,
     )
     opening = make_new_opening(eng, random_steps=1)
     key, ko, k1, k2 = jax.random.split(key, 4)
@@ -106,11 +119,11 @@ def main(argv=None):
     losses_ = r1.losses + r2.wins
     draws = r1.draws + r2.draws
     matches = [
-        MatchResult("tiny", 1, "tiny", 0, r1.wins, r1.losses, r1.draws),
-        MatchResult("tiny", 0, "tiny", 1, r2.wins, r2.losses, r2.draws),
+        MatchResult("run", 1, "run", 0, r1.wins, r1.losses, r1.draws),
+        MatchResult("run", 0, "run", 1, r2.wins, r2.losses, r2.draws),
     ]
     ratings = fit_elo(matches)
-    gain = ratings["tiny_1"][0] - ratings["tiny_0"][0]
+    gain = ratings["run_1"][0] - ratings["run_0"][0]
     summary = {
         "wins": wins,
         "losses": losses_,
