@@ -71,7 +71,7 @@ def main(argv=None):
     for i in range(args.pretrain_steps):
         batch = make_batch(eng, pre[i * args.batch : (i + 1) * args.batch], rng)
         bundle, opt_state, m = train_step(bundle, opt_state, batch, train_ube=False)
-    print(f"pretrain done ({time.time()-t0:.0f}s): loss={float(m['loss']):.3f}")
+    print(f"pretrain done ({time.time()-t0:.0f}s): loss={float(m['loss']):.3f}", flush=True)
 
     # Selfplay <-> learn.
     from takzero_tpu.selfplay import SelfplayConfig
@@ -101,7 +101,8 @@ def main(argv=None):
         losses.append(float(m["loss"]))
         print(
             f"iter {it}: buffer={len(buffer)} loss={losses[-1]:.3f} "
-            f"({time.time()-t0:.0f}s)"
+            f"({time.time()-t0:.0f}s)",
+            flush=True,
         )
 
     # Final vs initial, both colors from shared random openings.
@@ -133,7 +134,7 @@ def main(argv=None):
         "final_loss": losses[-1] if losses else None,
         "wall_s": round(time.time() - t0, 1),
     }
-    print(json.dumps(summary))
+    print(json.dumps(summary), flush=True)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=1)
     return summary
