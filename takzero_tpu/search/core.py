@@ -99,13 +99,17 @@ def make_kernels(
 
         slot_iota = jnp.arange(tree.child_visit.shape[2], dtype=jnp.int32)
 
-        def level(rows, st):
-            """One descent level given this node's child rows."""
+        def body(st):
             cur, active = st["cur"], st["active"]
-            (
-                row_action, row_flag, row_ply, row_value,
-                row_prob, row_std, row_visit, row_node,
-            ) = rows
+            # One fused gather group per level: all 8 row stats share `cur`.
+            row_action = _rows(tree.child_action, bar, cur)
+            row_flag = _rows(tree.child_flag, bar, cur)
+            row_ply = _rows(tree.child_ply, bar, cur)
+            row_value = _rows(tree.child_value, bar, cur)
+            row_prob = _rows(tree.child_prob, bar, cur)
+            row_std = _rows(tree.child_std, bar, cur)
+            row_visit = _rows(tree.child_visit, bar, cur)
+            row_node = _rows(tree.child_node, bar, cur)
 
             valid = row_action >= 0
             q = ev.negated_float(row_flag, row_ply, row_value)
@@ -170,35 +174,7 @@ def make_kernels(
                 leaf_slot=jnp.where(new_leaf, slot, st["leaf_slot"]),
             )
 
-        def body(st):
-            cur = st["cur"]
-            # One fused gather group per level: all 8 row stats share `cur`.
-            rows = (
-                _rows(tree.child_action, bar, cur),
-                _rows(tree.child_flag, bar, cur),
-                _rows(tree.child_ply, bar, cur),
-                _rows(tree.child_value, bar, cur),
-                _rows(tree.child_prob, bar, cur),
-                _rows(tree.child_std, bar, cur),
-                _rows(tree.child_visit, bar, cur),
-                _rows(tree.child_node, bar, cur),
-            )
-            return level(rows, st)
-
-        # Peel the root level: its rows are static slices (node 0), so the
-        # first descent step costs no dynamic gather at all.
-        root_rows = (
-            tree.child_action[:, 0],
-            tree.child_flag[:, 0],
-            tree.child_ply[:, 0],
-            tree.child_value[:, 0],
-            tree.child_prob[:, 0],
-            tree.child_std[:, 0],
-            tree.child_visit[:, 0],
-            tree.child_node[:, 0],
-        )
-        st = level(root_rows, init)
-        st = jax.lax.while_loop(cond, body, st)
+        st = jax.lax.while_loop(cond, body, init)
 
         # Depth-clipped lanes: back up the current node's own eval.
         clipped = st["active"]
