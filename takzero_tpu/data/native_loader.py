@@ -218,6 +218,8 @@ def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
     from ..ops.repr import state_to_planes
     from ..train.learner import Batch
 
+    from ..ops.repr import batch_planes_fn, scatter_policy
+
     n = eng.n
     a = action_space(n).num_actions
     states, value, ube, actions, probs, offsets = parse_targets(n, text)
@@ -228,18 +230,19 @@ def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
     states = augment_states(n, states, syms)
     amap = action_maps(n)  # [8, A]
     # Per-item target row + symmetry-mapped action.
-    item_row = np.repeat(np.arange(t), np.diff(offsets))
-    mapped = amap[syms[item_row], actions]
-    policy = np.zeros((t, a), np.float32)
-    mask = np.zeros((t, a), bool)
-    policy[item_row, mapped] = probs
-    mask[item_row, mapped] = True
+    item_row = np.repeat(np.arange(t), np.diff(offsets)).astype(np.int32)
+    mapped = amap[syms[item_row], actions].astype(np.int32)
+    # Dense policy/mask are built ON DEVICE from the sparse triple (a few
+    # KB shipped instead of ~6 MB of mostly-zero [B, A] arrays), and the
+    # planes encoder is a cached jit (eager vmap = one tunnel round trip
+    # per primitive).
+    policy, mask = scatter_policy(t, a, item_row, mapped, probs)
     batched = jax.tree.map(jnp.asarray, states)
-    planes = jax.vmap(lambda s: state_to_planes(eng, s))(batched)
+    planes = batch_planes_fn(eng)(batched)
     return Batch(
         planes=planes,
-        policy=jnp.asarray(policy),
-        mask=jnp.asarray(mask),
+        policy=policy,
+        mask=mask,
         value=jnp.asarray(value),
         ube=jnp.asarray(ube),
     )

@@ -29,7 +29,12 @@ from ..models.agent import new_agent
 from ..parallel import coordinator as co
 from ..tak import engine
 from ..train.data import make_batch, random_pretraining_targets
-from ..train.learner import init_opt, make_optimizer, make_train_step
+from ..train.learner import (
+    init_opt,
+    make_optimizer,
+    make_train_step,
+    make_train_step_chunk,
+)
 from ..utils import ckpt
 
 log = logging.getLogger("learn")
@@ -46,6 +51,14 @@ def main(argv=None) -> None:
     parser.add_argument("--pretrain-targets", type=int, default=None)
     parser.add_argument("--pretrain-steps", type=int, default=None)
     parser.add_argument("--no-wait", action="store_true", help="for tests")
+    parser.add_argument(
+        "--chunk-steps",
+        type=int,
+        default=None,
+        help="optimizer steps per device dispatch (default 20; 1 with "
+        "--no-wait). Chunks never cross a checkpoint boundary, so the "
+        "save/normalization cadence is unchanged.",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -61,6 +74,12 @@ def main(argv=None) -> None:
 
     tx = make_optimizer(cfg.learning_rate)
     train_step = jax.jit(make_train_step(net_cfg, tx), static_argnames=("train_ube",))
+    # Chunked path: K steps per dispatch (jit recompiles per distinct K —
+    # boundary-capped chunks produce at most a handful of lengths).
+    chunk_steps = args.chunk_steps or (1 if args.no_wait else 20)
+    train_chunk = jax.jit(
+        make_train_step_chunk(net_cfg, tx), static_argnames=("train_ube",)
+    )
 
     bundle = new_agent(net_cfg, seed=args.seed)
     opt_state = init_opt(net_cfg, tx, bundle)
@@ -130,11 +149,22 @@ def main(argv=None) -> None:
     target_steps = None if args.max_steps is None else steps + args.max_steps
     model_steps = steps
     while target_steps is None or model_steps < target_steps:
-        model_steps += 1
+        first = model_steps + 1
         using_reanalyze = (
             args.restart_targets is not None
-            or model_steps >= cfg.steps_before_reanalyze
+            or first >= cfg.steps_before_reanalyze
         )
+        # Chunk length: never cross a save/checkpoint boundary (they stay
+        # exact-step), the reanalyze switch-on, or the step target.
+        c = min(
+            chunk_steps,
+            cfg.steps_per_save - (model_steps % cfg.steps_per_save),
+        )
+        if not using_reanalyze and args.restart_targets is None:
+            c = min(c, cfg.steps_before_reanalyze - first)
+        if target_steps is not None:
+            c = min(c, target_steps - model_steps)
+        c = max(c, 1)
 
         while True:
             if time.time() - last_read >= (
@@ -145,19 +175,31 @@ def main(argv=None) -> None:
                 sp_buffer.extend(
                     valid_target_lines(net_cfg.n, sp_tail.read_new_lines()),
                     cfg.selfplay_forced_uses,
-                    model_steps,
+                    first,
                 )
                 if using_reanalyze:
                     re_buffer.extend(
                         valid_target_lines(net_cfg.n, re_tail.read_new_lines()),
                         cfg.reanalyze_forced_uses,
-                        model_steps,
+                        first,
                     )
                 last_read = time.time()
                 co.write_buffer_lengths(args.directory, len(sp_buffer), len(re_buffer))
 
-            min_sp = cfg.batch_size if args.no_wait else cfg.min_selfplay_buffer
-            min_re = cfg.batch_size if args.no_wait else cfg.min_reanalyze_buffer
+            if args.no_wait:
+                # Tests: fit the chunk to the available full batches.
+                c = min(c, max(1, len(sp_buffer) // cfg.batch_size))
+            half_need = c * (cfg.batch_size // 2)
+            min_sp = (
+                c * cfg.batch_size
+                if args.no_wait
+                else max(cfg.min_selfplay_buffer, half_need)
+            )
+            min_re = (
+                c * cfg.batch_size
+                if args.no_wait
+                else max(cfg.min_reanalyze_buffer, half_need)
+            )
             enough_sp = len(sp_buffer) >= min_sp
             enough_re = not using_reanalyze or len(re_buffer) >= min_re
             if enough_sp and enough_re:
@@ -174,24 +216,40 @@ def main(argv=None) -> None:
             )
             time.sleep(cfg.sleep_when_starved)
 
-        if using_reanalyze:
-            half = cfg.batch_size // 2
-            targets = sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
+        chunk_batches = []
+        for _ in range(c):
+            if using_reanalyze:
+                half = cfg.batch_size // 2
+                targets = sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
+            else:
+                targets = sp_buffer.drain_batch(cfg.batch_size)
+            chunk_batches.append(
+                make_batch_native(eng, "\n".join(targets) + "\n", rng)
+            )
+        if c == 1:
+            bundle, opt_state, metrics = train_step(
+                bundle, opt_state, chunk_batches[0], train_ube=True
+            )
+            m_host = jax.tree.map(lambda x: np.asarray(x)[None], metrics)
         else:
-            targets = sp_buffer.drain_batch(cfg.batch_size)
-        batch = make_batch_native(eng, "\n".join(targets) + "\n", rng)
-        bundle, opt_state, metrics = train_step(bundle, opt_state, batch, train_ube=True)
-        m = jax.tree.map(float, metrics)
-        log.info(
-            "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
-            model_steps, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
-        )
+            batches = jax.tree.map(
+                lambda *xs: jax.numpy.stack(xs), *chunk_batches
+            )
+            bundle, opt_state, metrics = train_chunk(
+                bundle, opt_state, batches, train_ube=True
+            )
+            m_host = jax.tree.map(np.asarray, metrics)
         # Structured metrics alongside the logs (tools/logs.py reads both).
-        co.append_lines(
-            args.directory,
-            "metrics.jsonl",
-            [json.dumps({"step": model_steps, **m})],
-        )
+        jsonl = []
+        for i in range(c):
+            model_steps += 1
+            m = {k: float(v[i]) for k, v in m_host.items()}
+            log.info(
+                "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
+                model_steps, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
+            )
+            jsonl.append(json.dumps({"step": model_steps, **m}))
+        co.append_lines(args.directory, "metrics.jsonl", jsonl)
         if rnd_refs is not None and model_steps % 100 == 0:
             bundle = rnd_norm(bundle, *rnd_refs)
             log.info(

@@ -37,7 +37,9 @@ def impossible_permutation(n: int) -> np.ndarray:
 
 
 def planes_of(eng: TakEngine, envs) -> jnp.ndarray:
-    return jax.vmap(lambda s: state_to_planes(eng, s))(envs)
+    from ..ops.repr import batch_planes_fn
+
+    return batch_planes_fn(eng)(envs)
 
 
 def random_plane_batch(eng: TakEngine, key, ply: int, batch: int) -> jnp.ndarray:

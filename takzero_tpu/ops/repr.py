@@ -17,6 +17,9 @@ models transpose to NHWC internally).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..tak import bits
@@ -80,3 +83,52 @@ def state_to_planes(eng: TakEngine, state) -> jnp.ndarray:
 
     planes = jnp.stack(mine + opp + reserve_planes + [to_move_plane, fcd_plane])
     return planes.reshape(input_channels(n), n, n)
+
+
+@functools.lru_cache(maxsize=None)
+def batch_planes_fn(eng: TakEngine):
+    """Jitted batched encoder: TakState SoA [B, ...] -> planes [B, C, N, N].
+
+    Cache holds compiled callables only (never device arrays — see
+    CLAUDE.md gotcha); `engine()` instances are lru-cached singletons so
+    the key is stable.  Eager `jax.vmap(state_to_planes)` executes one
+    primitive per dispatch — on a remote accelerator that is dozens of
+    round trips per batch, which made host-side batch assembly the learn
+    loop's bottleneck.
+    """
+    return jax.jit(jax.vmap(lambda s: state_to_planes(eng, s)))
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_policy_fn(t: int, a: int):
+    """Jitted dense policy/mask builder from padded sparse COO triples.
+
+    Padded entries carry row == t and scatter into a dummy row that the
+    output slices away.  Shipping the sparse triple instead of the dense
+    [B, A] policy+mask cuts the host->device traffic per learn batch from
+    ~5.8 MB to a few tens of KB — decisive over a tunneled accelerator
+    link.  Recompiles per padded length bucket (powers of two).
+    """
+
+    @jax.jit
+    def scatter(rows, cols, probs):
+        pol = jnp.zeros((t + 1, a), jnp.float32).at[rows, cols].set(probs)
+        msk = jnp.zeros((t + 1, a), bool).at[rows, cols].set(True)
+        return pol[:t], msk[:t]
+
+    return scatter
+
+
+def scatter_policy(t: int, a: int, rows, cols, probs):
+    """Dense (policy [t, A], mask [t, A]) from sparse numpy COO triples."""
+    import numpy as np
+
+    length = int(len(rows))
+    pad = max(256, 1 << (length - 1).bit_length()) if length else 256
+    r = np.full((pad,), t, np.int32)
+    c = np.zeros((pad,), np.int32)
+    p = np.zeros((pad,), np.float32)
+    r[:length] = rows
+    c[:length] = cols
+    p[:length] = probs
+    return _scatter_policy_fn(t, a)(r, c, p)

@@ -31,13 +31,14 @@ def make_batch(
     eng: TakEngine, targets: list[Target], rng: np.random.Generator,
     augment: bool = True, return_states: bool = False,
 ):
+    from ..ops.repr import batch_planes_fn, scatter_policy
+
     n = eng.n
     a = eng.num_actions
     amap = action_maps(n)
     b = len(targets)
     states = []
-    policy = np.zeros((b, a), np.float32)
-    mask = np.zeros((b, a), bool)
+    rows, cols, probs = [], [], []
     value = np.zeros((b,), np.float32)
     ube = np.zeros((b,), np.float32)
     for i, t in enumerate(targets):
@@ -45,17 +46,26 @@ def make_batch(
         state = tps_to_state(n, t.tps)
         states.append(transform_state_np(n, state, sym))
         for act, p in t.policy:
-            act2 = amap[sym, act]
-            policy[i, act2] = p
-            mask[i, act2] = True
+            rows.append(i)
+            cols.append(amap[sym, act])
+            probs.append(p)
         value[i] = t.value
         ube[i] = t.ube
+    # Device-side dense scatter + cached jitted planes encoder (see
+    # data/native_loader.py for why: tunnel traffic and per-primitive
+    # dispatch round trips).
+    policy, mask = scatter_policy(
+        b, a,
+        np.asarray(rows, np.int32),
+        np.asarray(cols, np.int32),
+        np.asarray(probs, np.float32),
+    )
     batched = jax.tree.map(jnp.asarray, stack_states(states))
-    planes = jax.vmap(lambda s: state_to_planes(eng, s))(batched)
+    planes = batch_planes_fn(eng)(batched)
     batch = Batch(
         planes=planes,
-        policy=jnp.asarray(policy),
-        mask=jnp.asarray(mask),
+        policy=policy,
+        mask=mask,
         value=jnp.asarray(value),
         ube=jnp.asarray(ube),
     )

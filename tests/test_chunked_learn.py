@@ -1,0 +1,110 @@
+"""Chunked training path: `make_train_step_chunk` (K steps per dispatch).
+
+The chunked step is the remote-accelerator throughput path of the learn
+driver (drivers/learn.py --chunk-steps); it must be bit-identical to K
+sequential `make_train_step` calls, and the driver must keep its exact
+checkpoint cadence when chunking.
+"""
+
+import json
+
+import numpy as np
+
+import jax
+
+from takzero_tpu.models.agent import new_agent
+from takzero_tpu.models.network import NetConfig
+from takzero_tpu.tak import engine
+from takzero_tpu.train.data import make_batch, random_pretraining_targets
+from takzero_tpu.train.learner import (
+    init_opt,
+    make_optimizer,
+    make_train_step,
+    make_train_step_chunk,
+)
+
+CFG = NetConfig(n=3, half_komi=0, filters=8, blocks=1, novelty="simhash", hash_bits=10)
+
+
+def _batches(eng, k, b, seed):
+    rng = np.random.default_rng(seed)
+    return [
+        make_batch(eng, random_pretraining_targets(eng, b, rng), rng)
+        for _ in range(k)
+    ]
+
+
+def test_chunk_matches_sequential():
+    eng = engine(3, half_komi=0)
+    tx = make_optimizer()
+    bundle = new_agent(CFG, seed=0)
+    opt = init_opt(CFG, tx, bundle)
+    chunks = _batches(eng, 3, 4, seed=7)
+
+    step = jax.jit(make_train_step(CFG, tx), static_argnames=("train_ube",))
+    b_seq, o_seq = bundle, opt
+    seq_metrics = []
+    for batch in chunks:
+        b_seq, o_seq, m = step(b_seq, o_seq, batch, train_ube=True)
+        seq_metrics.append(jax.tree.map(float, m))
+
+    chunk = jax.jit(make_train_step_chunk(CFG, tx), static_argnames=("train_ube",))
+    stacked = jax.tree.map(lambda *xs: jax.numpy.stack(xs), *chunks)
+    b_ch, o_ch, m_ch = chunk(bundle, opt, stacked, train_ube=True)
+
+    for k in seq_metrics[0]:
+        np.testing.assert_allclose(
+            np.asarray(m_ch[k]),
+            np.array([m[k] for m in seq_metrics]),
+            rtol=1e-5,
+            err_msg=k,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64), rtol=1e-4, atol=1e-6
+        ),
+        jax.tree.map(np.asarray, b_seq["params"]),
+        jax.tree.map(np.asarray, b_ch["params"]),
+    )
+    # Novelty bitset identical (exact integer state).
+    np.testing.assert_array_equal(
+        np.asarray(b_seq["hash_bits"]), np.asarray(b_ch["hash_bits"])
+    )
+
+
+def test_learn_driver_chunked(tmp_path):
+    """--chunk-steps > 1 trains, logs per-step metrics, keeps cadence."""
+    from takzero_tpu.drivers import learn as learn_driver
+    from takzero_tpu.drivers import selfplay as selfplay_driver
+
+    d = str(tmp_path)
+    learn_driver.main(
+        [
+            "--directory", d, "--net", "tiny3", "--seed", "1",
+            "--batch-size", "8", "--pretrain-targets", "32",
+            "--pretrain-steps", "1", "--max-steps", "0", "--no-wait",
+        ]
+    )
+    selfplay_driver.main(
+        [
+            "--directory", d, "--net", "tiny3", "--seed", "2",
+            "--batch", "4", "--budget", "16", "--sampled", "4",
+            "--max-steps", "40",
+        ]
+    )
+    learn_driver.main(
+        [
+            "--directory", d, "--net", "tiny3", "--seed", "3",
+            "--batch-size", "8", "--pretrain-steps", "0",
+            "--max-steps", "4", "--no-wait", "--chunk-steps", "2",
+        ]
+    )
+    steps = [
+        json.loads(line)["step"]
+        for line in (tmp_path / "metrics.jsonl").read_text().splitlines()
+    ]
+    # Pretrain logged nothing to metrics.jsonl; main loop logged 2..5
+    # consecutively (chunked dispatch still emits one record per step).
+    assert steps == sorted(steps) and len(set(steps)) == len(steps)
+    assert len(steps) >= 4
+    assert (tmp_path / "model_latest.ckpt").exists()
