@@ -93,8 +93,10 @@ def main(argv=None) -> None:
         if args.dump_search:
             from ..selfplay import dump_root_line
 
+            # last_root stays on device unless dumping is enabled.
+            root_host = jax.tree.map(np.asarray, sp.last_root)
             with open(args.dump_search, "a", encoding="utf-8") as f:
-                f.write(dump_root_line(net_cfg.n, sp.last_root) + "\n")
+                f.write(dump_root_line(net_cfg.n, root_host) + "\n")
         log.info(
             "step %d: move for %d games in %.2fs; %d targets, %d replays",
             steps, sp_cfg.batch, time.time() - start, len(targets), len(replays),

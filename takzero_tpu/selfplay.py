@@ -140,10 +140,12 @@ class SelfplayEngine:
         self.envs = None
         self.logs: list[GameLog] = []
         self.last_root = None
+        self._envs_host = None
 
     def reset(self, key):
         self.envs = self._opening(key, self.cfg.batch)
         host = jax.tree.map(np.asarray, self.envs)
+        self._envs_host = host
         self.logs = [
             GameLog(start_tps=state_to_tps(self.eng.n, _lane(host, i)))
             for i in range(self.cfg.batch)
@@ -152,12 +154,18 @@ class SelfplayEngine:
     def play_move(self, bundle, key):
         """One move in every game. Returns (targets, replays) completed."""
         cfg = self.cfg
-        envs_before = jax.tree.map(np.asarray, self.envs)
+        # The pre-move host state is last move's fetched post-move state —
+        # refetching it costs one blocking round trip per array on a
+        # remote accelerator.
+        envs_before = self._envs_host
+        if envs_before is None:
+            envs_before = jax.tree.map(np.asarray, self.envs)
         nxt, action, pol, child_actions, ube, tk, res, road, root = self._move(
             self.envs, bundle, key
         )
         self.envs = nxt
-        self.last_root = jax.tree.map(np.asarray, root)
+        # Device-side; fetched lazily by the --dump-search path only.
+        self.last_root = root
         action = np.asarray(action)
         pol = np.asarray(pol)
         child_actions = np.asarray(child_actions)
@@ -166,6 +174,7 @@ class SelfplayEngine:
         res = np.asarray(res)
         road = np.asarray(road)
         nxt_host = jax.tree.map(np.asarray, nxt)
+        self._envs_host = nxt_host
         betas = cfg.betas()
 
         targets: list[Target] = []
