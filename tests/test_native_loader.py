@@ -187,3 +187,32 @@ def test_make_batch_native_augment_consistent():
     # Each row's nonzero probs are exactly {0.75, 0.25}.
     for row in pol:
         np.testing.assert_allclose(sorted(row[row > 0]), [0.25, 0.75], atol=1e-6)
+
+
+def test_scatter_policy_matches_dense_numpy():
+    """Device-side COO scatter == the straightforward dense construction.
+
+    Both make_batch and make_batch_native build policy/mask through
+    ops.repr.scatter_policy now, so this pins the scatter itself against
+    an independent numpy reference (including pad-bucket edges: empty,
+    exactly-256, and just-past-a-power-of-two lengths).
+    """
+    from takzero_tpu.ops.repr import scatter_policy
+
+    rng = np.random.default_rng(3)
+    for t, a, length in [(5, 37, 0), (7, 300, 256), (11, 123, 257), (4, 50, 9)]:
+        rows = rng.integers(0, t, size=length).astype(np.int32)
+        cols = np.empty(length, np.int32)
+        # Unique (row, col) pairs: sample columns without replacement per
+        # row (every case above has length/t well under a).
+        for r in range(t):
+            idx = np.nonzero(rows == r)[0]
+            cols[idx] = rng.choice(a, size=len(idx), replace=False)
+        probs = rng.random(length).astype(np.float32)
+        dense_p = np.zeros((t, a), np.float32)
+        dense_m = np.zeros((t, a), bool)
+        dense_p[rows, cols] = probs
+        dense_m[rows, cols] = True
+        pol, msk = scatter_policy(t, a, rows, cols, probs)
+        np.testing.assert_array_equal(np.asarray(msk), dense_m)
+        np.testing.assert_allclose(np.asarray(pol), dense_p, atol=0)
