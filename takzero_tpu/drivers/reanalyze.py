@@ -112,6 +112,7 @@ def main(argv=None) -> None:
     )
 
     bundle = new_agent(net_cfg, seed=args.seed)
+    poller = ckpt.LatestPoller(args.directory)
     positions = PositionBuffer(rng)
     tail = co.Tailer(args.directory, co.REPLAYS)
     expl_positions = PositionBuffer(rng, max_len=args.exploration_buffer)
@@ -125,12 +126,7 @@ def main(argv=None) -> None:
             which=1,
             max_wait=None if args.max_steps is None else 0.0,
         )
-        latest = ckpt.latest_path(args.directory)
-        if latest.exists():
-            try:
-                bundle = ckpt.load_checkpoint(latest, bundle)
-            except Exception as e:
-                log.warning("cannot load model (%s), retrying later", e)
+        bundle, _ = poller.reload_if_changed(bundle, log)
 
         positions.extend(explode_replays(eng, tail.read_new_lines()))
         if args.exploration_positions:

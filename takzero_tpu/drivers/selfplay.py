@@ -69,24 +69,21 @@ def main(argv=None) -> None:
     sp.reset(k0)
 
     bundle = new_agent(net_cfg, seed=int(seed))
+    poller = ckpt.LatestPoller(args.directory)
     steps = 0
     while args.max_steps is None or steps < args.max_steps:
         steps += 1
         start = time.time()
-        # Backpressure + model reload (selfplay:89-125).
+        # Backpressure + model reload-on-change (selfplay:89-125).
         co.wait_for_backpressure(
             args.directory,
             MAX_SELFPLAY_BUFFER_LEN,
             which=0,
             max_wait=None if args.max_steps is None else 0.0,
         )
-        latest = ckpt.latest_path(args.directory)
-        if latest.exists():
-            try:
-                bundle = ckpt.load_checkpoint(latest, bundle)
-            except Exception as e:  # torn read: keep the old weights
-                log.warning("cannot load model (%s), keeping current", e)
-        log.debug("wait+reload took %.2fs", time.time() - start)
+        bundle, reloaded = poller.reload_if_changed(bundle, log)
+        if reloaded:
+            log.info("reloaded model_latest (%.2fs)", time.time() - start)
 
         key, k_move = jax.random.split(key)
         targets, replays, exploration_replays = sp.play_move(bundle, k_move)

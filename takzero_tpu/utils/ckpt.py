@@ -103,3 +103,38 @@ def model_path_with_most_steps(directory):
 
 def latest_path(directory) -> pathlib.Path:
     return pathlib.Path(directory) / "model_latest.ckpt"
+
+
+class LatestPoller:
+    """Reload `model_latest.ckpt` only when the file actually changed.
+
+    The reference actors poll for a NEW model (selfplay/src/main.rs:89-125),
+    not reload every move — an unconditional reload re-reads and re-uploads
+    the full bundle (hundreds of MB with an embedded novelty bitset) per
+    move, which dwarfed the search itself over a remote-accelerator link.
+    The loaded bundle is device_put once so subsequent jitted calls do not
+    re-transfer host numpy weights.
+    """
+
+    def __init__(self, directory):
+        self._path = latest_path(directory)
+        self._sig = None
+
+    def reload_if_changed(self, bundle, log=None):
+        """Returns (bundle, reloaded: bool); keeps old weights on failure."""
+        try:
+            st = os.stat(self._path)
+        except OSError:
+            return bundle, False
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig == self._sig:
+            return bundle, False
+        try:
+            loaded = load_checkpoint(self._path, bundle)
+            bundle = jax.device_put(loaded)
+        except Exception as e:  # torn read: keep the old weights
+            if log is not None:
+                log.warning("cannot load model (%s), keeping current", e)
+            return bundle, False
+        self._sig = sig
+        return bundle, True
