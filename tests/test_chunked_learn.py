@@ -108,3 +108,31 @@ def test_learn_driver_chunked(tmp_path):
     assert steps == sorted(steps) and len(set(steps)) == len(steps)
     assert len(steps) >= 4
     assert (tmp_path / "model_latest.ckpt").exists()
+
+
+def test_latest_poller_reloads_only_on_change(tmp_path):
+    """LatestPoller: no-op without a file, loads on change, skips when same."""
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.utils import ckpt
+
+    cfg = CFG
+    b0 = new_agent(cfg, seed=0)
+    b1 = new_agent(cfg, seed=1)
+    poller = ckpt.LatestPoller(tmp_path)
+
+    cur, reloaded = poller.reload_if_changed(b0)
+    assert not reloaded
+
+    ckpt.save_checkpoint(tmp_path, "model_latest.ckpt", b1)
+    cur, reloaded = poller.reload_if_changed(b0)
+    assert reloaded
+    ref = np.asarray(b1["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"])
+    got = np.asarray(cur["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(got, ref)
+
+    cur2, reloaded = poller.reload_if_changed(cur)
+    assert not reloaded and cur2 is cur
+
+    ckpt.save_checkpoint(tmp_path, "model_latest.ckpt", b0)
+    _, reloaded = poller.reload_if_changed(cur)
+    assert reloaded
