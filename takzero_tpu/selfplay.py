@@ -134,7 +134,33 @@ class SelfplayEngine:
                 std=tree.child_std[:, 0, :],
                 logit=tree.child_logit[:, 0, :],
             )
-            return nxt, action, pol, child_actions, ube, tk, res, winner_road, root
+            # Everything the host needs each move, packed into ONE int32
+            # buffer (all TakState fields are 32-bit; floats bitcast) so
+            # the driver pays a single blocking device->host round trip
+            # per move instead of ~14.
+            b = action.shape[0]
+
+            def as_i32(x):
+                x = x.reshape(b, -1)
+                if x.dtype == jnp.float32:
+                    return jax.lax.bitcast_convert_type(x, jnp.int32)
+                if x.dtype == jnp.uint32:
+                    return jax.lax.bitcast_convert_type(x, jnp.int32)
+                return x.astype(jnp.int32)
+
+            packed = jnp.concatenate(
+                [
+                    as_i32(action), as_i32(tk), as_i32(res),
+                    as_i32(winner_road), as_i32(ube),
+                    as_i32(pol), as_i32(child_actions),
+                    as_i32(nxt.height), as_i32(nxt.owner_lo),
+                    as_i32(nxt.owner_hi), as_i32(nxt.tops),
+                    as_i32(nxt.reserves), as_i32(nxt.to_move),
+                    as_i32(nxt.ply), as_i32(nxt.reversible),
+                ],
+                axis=1,
+            )
+            return nxt, packed, root
 
         self._move = jax.jit(move_fn)
         self.envs = None
@@ -160,20 +186,39 @@ class SelfplayEngine:
         envs_before = self._envs_host
         if envs_before is None:
             envs_before = jax.tree.map(np.asarray, self.envs)
-        nxt, action, pol, child_actions, ube, tk, res, road, root = self._move(
-            self.envs, bundle, key
-        )
+        nxt, packed, root = self._move(self.envs, bundle, key)
         self.envs = nxt
         # Device-side; fetched lazily by the --dump-search path only.
         self.last_root = root
-        action = np.asarray(action)
-        pol = np.asarray(pol)
-        child_actions = np.asarray(child_actions)
-        ube = np.asarray(ube)
-        tk = np.asarray(tk)
-        res = np.asarray(res)
-        road = np.asarray(road)
-        nxt_host = jax.tree.map(np.asarray, nxt)
+
+        # ONE blocking fetch per move; unpack by column (see move_fn).
+        pk = np.asarray(packed)
+        s = self.eng.n * self.eng.n
+        c = self.cfg.max_children
+        cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1])
+        (
+            action, tk, res, road, ube_b, pol_b, child_actions,
+            height, owner_lo, owner_hi, tops, reserves, to_move, ply,
+            reversible,
+        ) = np.split(pk, cuts, axis=1)
+        action = action[:, 0]
+        tk = tk[:, 0]
+        res = res[:, 0]
+        road = road[:, 0].astype(bool)
+        ube = np.ascontiguousarray(ube_b).view(np.float32)[:, 0]
+        pol = np.ascontiguousarray(pol_b).view(np.float32)
+        from .tak.state import TakState
+
+        nxt_host = TakState(
+            height=np.ascontiguousarray(height),
+            owner_lo=np.ascontiguousarray(owner_lo).view(np.uint32),
+            owner_hi=np.ascontiguousarray(owner_hi).view(np.uint32),
+            tops=np.ascontiguousarray(tops),
+            reserves=np.ascontiguousarray(reserves).reshape(-1, 2, 2),
+            to_move=to_move[:, 0],
+            ply=ply[:, 0],
+            reversible=reversible[:, 0],
+        )
         self._envs_host = nxt_host
         betas = cfg.betas()
 
