@@ -146,6 +146,24 @@ def main(argv=None) -> None:
     re_tail = co.Tailer(args.directory, co.TARGETS_REANALYZE)
     last_read = 0.0
 
+    pending_metrics: list = []
+
+    def flush_metrics(item):
+        """Fetch one chunk's stacked metrics and log/record per step."""
+        first_step, c, metrics = item
+        m_host = jax.tree.map(np.asarray, metrics)
+        jsonl = []
+        for i in range(c):
+            step_i = first_step + i
+            m = {k: float(v[i]) for k, v in m_host.items()}
+            log.info(
+                "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
+                step_i, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
+            )
+            jsonl.append(json.dumps({"step": step_i, **m}))
+        # Structured metrics alongside the logs (tools/logs.py reads both).
+        co.append_lines(args.directory, "metrics.jsonl", jsonl)
+
     target_steps = None if args.max_steps is None else steps + args.max_steps
     model_steps = steps
     while target_steps is None or model_steps < target_steps:
@@ -209,6 +227,9 @@ def main(argv=None) -> None:
                 if enough_sp:
                     using_reanalyze = False
                     break
+                for item in pending_metrics:
+                    flush_metrics(item)
+                ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
                 return
             log.info(
                 "not enough targets (sp=%d re=%d), sleeping %.0fs",
@@ -230,7 +251,7 @@ def main(argv=None) -> None:
             bundle, opt_state, metrics = train_step(
                 bundle, opt_state, chunk_batches[0], train_ube=True
             )
-            m_host = jax.tree.map(lambda x: np.asarray(x)[None], metrics)
+            metrics = jax.tree.map(lambda x: jax.numpy.asarray(x)[None], metrics)
         else:
             batches = jax.tree.map(
                 lambda *xs: jax.numpy.stack(xs), *chunk_batches
@@ -238,18 +259,14 @@ def main(argv=None) -> None:
             bundle, opt_state, metrics = train_chunk(
                 bundle, opt_state, batches, train_ube=True
             )
-            m_host = jax.tree.map(np.asarray, metrics)
-        # Structured metrics alongside the logs (tools/logs.py reads both).
-        jsonl = []
-        for i in range(c):
-            model_steps += 1
-            m = {k: float(v[i]) for k, v in m_host.items()}
-            log.info(
-                "step %d: loss=%.4f policy=%.4f value=%.4f ube=%.4f",
-                model_steps, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
-            )
-            jsonl.append(json.dumps({"step": model_steps, **m}))
-        co.append_lines(args.directory, "metrics.jsonl", jsonl)
+        # Defer the blocking metric fetch one chunk: the next iteration's
+        # host-side batch assembly then overlaps this chunk's device
+        # compute (dispatch is asynchronous).
+        first_step = model_steps + 1
+        model_steps += c
+        pending_metrics.append((first_step, c, metrics))
+        if len(pending_metrics) > 1:
+            flush_metrics(pending_metrics.pop(0))
         if rnd_refs is not None and model_steps % 100 == 0:
             bundle = rnd_norm(bundle, *rnd_refs)
             log.info(
@@ -263,6 +280,8 @@ def main(argv=None) -> None:
             cfg.steps_per_save,
             cfg.steps_per_checkpoint,
         )
+    for item in pending_metrics:
+        flush_metrics(item)
     # Always leave a final latest for downstream consumers (tests rely on it).
     ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
 
