@@ -51,7 +51,7 @@ def make_compete(
     step_b = jax.vmap(eng.step)
     terminal_b = jax.vmap(eng.terminal_kind)
 
-    def half_move(envs, bundle, key):
+    def half_move(envs, bundle, key, frozen):
         evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
         search = make_gumbel_search(
             eng, evaluator, sampled_actions, search_budget, max_depth
@@ -60,8 +60,17 @@ def make_compete(
         tree = init_tree(eng, envs, max_nodes, max_children)
         tree, slot = search(tree, key, jnp.zeros(b))
         action = slot_action(tree, slot).clip(0)
-        nxt = step_b(envs, action)
-        tk = terminal_b(nxt)
+        stepped = step_b(envs, action)
+        # Finished games keep their final envs (no restart) — fused here
+        # instead of eagerly dispatched per array on the host.
+        nxt = jax.tree.map(
+            lambda old, new: jnp.where(
+                frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            envs,
+            stepped,
+        )
+        tk = jnp.where(frozen, 0, terminal_b(nxt))
         return nxt, tk
 
     half_move_jit = jax.jit(half_move)
@@ -77,19 +86,8 @@ def make_compete(
             is_white = move % 2 == 0
             bundle = bundle_white if is_white else bundle_black
             key, k = jax.random.split(key)
-            nxt, tk = half_move_jit(cur, bundle, k)
+            cur, tk = half_move_jit(cur, bundle, k, jnp.asarray(done))
             tk = np.asarray(tk)
-            # Freeze finished games: keep their final envs (no restart).
-            keep = done
-            cur = jax.tree.map(
-                lambda old, new: jnp.where(
-                    jnp.asarray(keep).reshape((-1,) + (1,) * (new.ndim - 1)),
-                    old,
-                    new,
-                ),
-                cur,
-                nxt,
-            )
             for g in range(b):
                 if done[g] or tk[g] == 0:
                     continue
