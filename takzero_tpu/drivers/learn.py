@@ -147,6 +147,7 @@ def main(argv=None) -> None:
     last_read = 0.0
 
     pending_metrics: list = []
+    saver = ckpt.AsyncSaver()
 
     def flush_metrics(item):
         """Fetch one chunk's stacked metrics and log/record per step."""
@@ -229,7 +230,8 @@ def main(argv=None) -> None:
                     break
                 for item in pending_metrics:
                     flush_metrics(item)
-                ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+                saver.submit(args.directory, "model_latest.ckpt", bundle)
+                saver.drain()
                 return
             log.info(
                 "not enough targets (sp=%d re=%d), sleeping %.0fs",
@@ -273,7 +275,9 @@ def main(argv=None) -> None:
                 "RND normalization: min=%.4f max=%.4f",
                 float(bundle["rnd_min"]), float(bundle["rnd_max"]),
             )
-        ckpt.save_latest_and_step(
+        # Off-thread: fetching + writing the ~600 MB bundle every
+        # steps_per_save would otherwise stall the dispatch loop.
+        saver.submit_latest_and_step(
             args.directory,
             model_steps,
             bundle,
@@ -283,7 +287,8 @@ def main(argv=None) -> None:
     for item in pending_metrics:
         flush_metrics(item)
     # Always leave a final latest for downstream consumers (tests rely on it).
-    ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+    saver.submit(args.directory, "model_latest.ckpt", bundle)
+    saver.drain()
 
 
 if __name__ == "__main__":

@@ -138,3 +138,56 @@ class LatestPoller:
             return bundle, False
         self._sig = sig
         return bundle, True
+
+
+class AsyncSaver:
+    """Background checkpoint writer.
+
+    `save_latest_and_step` fetches the full bundle from device and writes
+    it synchronously — with the 512 MiB embedded novelty bitset that is
+    seconds per save, paid every `steps_per_save` optimizer steps. This
+    worker does the fetch + serialize + atomic write on a separate thread
+    so the training loop keeps dispatching. jax device arrays are
+    immutable, so snapshotting the pytree reference is race-free; writes
+    are ordered by a single worker thread (same guarantee as the
+    synchronous path). Call `drain()` before relying on the files.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            directory, name, bundle = item
+            try:
+                save_checkpoint(directory, name, bundle)
+            except Exception as e:  # surfaced by drain()
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit_latest_and_step(self, directory, step: int, bundle,
+                               steps_per_save=100, steps_per_checkpoint=50_000):
+        if step % steps_per_save == 0:
+            self._q.put((directory, "model_latest.ckpt", bundle))
+        if step % steps_per_checkpoint == 0:
+            self._q.put((directory, f"model_{step:07d}.ckpt", bundle))
+
+    def submit(self, directory, name: str, bundle):
+        self._q.put((directory, name, bundle))
+
+    def drain(self):
+        """Block until all queued saves hit disk; re-raise the first error."""
+        self._q.join()
+        if self._errors:
+            raise self._errors[0]
