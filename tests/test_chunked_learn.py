@@ -136,3 +136,28 @@ def test_latest_poller_reloads_only_on_change(tmp_path):
     ckpt.save_checkpoint(tmp_path, "model_latest.ckpt", b0)
     _, reloaded = poller.reload_if_changed(cur)
     assert reloaded
+
+
+def test_async_saver_orders_writes_and_drains(tmp_path):
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.utils import ckpt
+
+    b0 = new_agent(CFG, seed=0)
+    b1 = new_agent(CFG, seed=1)
+    saver = ckpt.AsyncSaver()
+    # Same target written twice: the later submit must win.
+    saver.submit(tmp_path, "model_latest.ckpt", b0)
+    saver.submit(tmp_path, "model_latest.ckpt", b1)
+    saver.submit_latest_and_step(tmp_path, 100, b1)  # latest + no 50k ckpt
+    saver.drain()
+    got = ckpt.load_checkpoint(tmp_path / "model_latest.ckpt", b0)
+    ref = np.asarray(b1["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(got["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"]), ref
+    )
+    assert not (tmp_path / "model_0000100.ckpt").exists()
+    saver.submit_latest_and_step(
+        tmp_path, 200, b0, steps_per_save=100, steps_per_checkpoint=200
+    )
+    saver.drain()
+    assert (tmp_path / "model_0000200.ckpt").exists()
