@@ -34,6 +34,7 @@ from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
 from ..utils import ckpt
 
 SIM_CHUNK = 128
+PV_LEN = 12
 
 
 class TeiEngine:
@@ -73,6 +74,42 @@ class TeiEngine:
             return simulate_batch(tree, jnp.zeros(1), SIM_CHUNK - 1)
 
         self._run = jax.jit(run_chunk)
+
+        def info_pack(tree):
+            """[flag, ply, value_bits, pv_actions...] in ONE device array.
+
+            The PV walk runs on device — fetching the full child_action/
+            node/visit pools (tens of MB at TEI tree sizes) per info line
+            dwarfed the search itself over a remote link.
+            """
+            ca = tree.child_action[0]
+            cn = tree.child_node[0]
+            cv = tree.child_visit[0]
+
+            def body(carry, _):
+                node, alive = carry
+                row_v, row_a, row_n = cv[node], ca[node], cn[node]
+                valid = row_a >= 0
+                any_v = jnp.any(valid & (row_v > 0))
+                slot = jnp.argmax(jnp.where(valid, row_v, -1))
+                act = jnp.where(alive & any_v, row_a[slot], -1)
+                nxt = row_n[slot]
+                alive = alive & any_v & (nxt >= 0)
+                return (jnp.where(alive, nxt, node), alive), act
+
+            (_, _), acts = jax.lax.scan(
+                body, (jnp.int32(0), jnp.bool_(True)), None, length=PV_LEN
+            )
+            return jnp.concatenate(
+                [
+                    tree.root_flag[:1],
+                    tree.root_ply[:1],
+                    jax.lax.bitcast_convert_type(tree.root_value, jnp.int32)[:1],
+                    acts,
+                ]
+            )
+
+        self._info_pack = jax.jit(info_pack)
         self.position = self.eng.initial()
 
     # ------------------------------------------------------------------
@@ -150,27 +187,29 @@ class TeiEngine:
         nodes = 0
         while True:
             tree = self._run(tree, self.bundle)
-            # A host transfer (not block_until_ready) awaits remote
-            # backends, keeping the reported nps honest.
-            np.asarray(tree.root_visit)
+            # ONE host transfer per chunk carries the solve state, root
+            # eval, and the device-computed PV (and, being a transfer
+            # rather than block_until_ready, awaits remote backends so
+            # the reported nps stays honest).
+            pk = np.asarray(self._info_pack(tree))
             nodes += SIM_CHUNK
             elapsed = time.time() - start
-            self._info(tree, nodes, elapsed)
+            self._info(pk, nodes, elapsed)
             if opts.get("infinite"):
                 continue
             if elapsed >= budget_s or nodes >= max_nodes:
                 break
-            if int(tree.root_flag[0]) != ev.VALUE:
+            if int(pk[0]) != ev.VALUE:
                 break  # solved
         slot = select_best_slot(tree)
         action = int(np.asarray(slot_action(tree, slot))[0])
         self.tree = tree  # keep for descend on the next position command
         self.send(f"bestmove {action_to_ptn(self.cfg.n, action)}")
 
-    def _info(self, tree, nodes, elapsed):
-        flag = int(tree.root_flag[0])
-        ply = int(tree.root_ply[0])
-        value = float(tree.root_value[0])
+    def _info(self, pk: np.ndarray, nodes, elapsed):
+        flag = int(pk[0])
+        ply = int(pk[1])
+        value = float(pk[2:3].view(np.float32)[0])
         if flag == ev.WIN:
             score = f"mate {math.ceil(ply / 2)}"
         elif flag == ev.LOSS:
@@ -178,31 +217,15 @@ class TeiEngine:
         else:
             # Probability-space value -> centipawn-ish scale.
             score = f"cp {int(600 * value)}"
-        pv = self._pv(tree)
+        pv = [
+            action_to_ptn(self.cfg.n, int(a)) for a in pk[3:] if int(a) >= 0
+        ]
         nps = int(nodes / max(elapsed, 1e-6))
         self.send(
             f"info time {int(elapsed * 1000)} nodes {nodes} nps {nps}"
             f" score {score} pv {' '.join(pv)}"
         )
 
-    def _pv(self, tree, max_len: int = 12) -> list[str]:
-        ca = np.asarray(tree.child_action[0])
-        cn = np.asarray(tree.child_node[0])
-        cv = np.asarray(tree.child_visit[0])
-        out = []
-        node = 0
-        for _ in range(max_len):
-            valid = ca[node] >= 0
-            if not valid.any() or cv[node].max() <= 0:
-                break
-            slot = int(np.argmax(np.where(valid, cv[node], -1)))
-            out.append(action_to_ptn(self.cfg.n, int(ca[node][slot])))
-            node = int(cn[node][slot])
-            if node < 0:
-                break
-        return out
-
-    # ------------------------------------------------------------------
     def handle(self, line: str) -> bool:
         """Process one command; returns False on quit."""
         parts = line.strip().split()
