@@ -29,7 +29,7 @@ from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
 from ..search.core import make_kernels
 from ..search.policy import select_best_slot, slot_action
-from ..search.tree import descend_host, init_tree
+from ..search.tree import descend_device, init_tree
 from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
 from ..utils import ckpt
 
@@ -48,6 +48,7 @@ class TeiEngine:
         self.position = None
         self._run = None
         self.tree = None  # reused search tree (descend across positions)
+        self._descend = None
         self.tree_history = None
 
     def send(self, line: str) -> None:
@@ -136,18 +137,22 @@ class TeiEngine:
         self.position = state
 
         # Tree reuse: if the new position extends the searched one, descend
-        # through the extra moves (tei/src/main.rs:174-201).
+        # through the extra moves (tei/src/main.rs:174-201) — on device
+        # (descend_device); only the 1-byte ok flag crosses the link.
         new_hist = key + tuple(moves)
         tree = self.tree
         if tree is not None and self.tree_history is not None:
             old = self.tree_history
             if new_hist[: len(old)] == old and len(new_hist) > len(old):
+                if self._descend is None:
+                    self._descend = jax.jit(descend_device)
                 for mv in new_hist[len(old) :]:
-                    if tree is None:
-                        break
-                    tree = descend_host(
-                        tree, ptn_to_action(self.cfg.n, mv)
+                    tree, ok = self._descend(
+                        tree, jnp.int32(ptn_to_action(self.cfg.n, mv))
                     )
+                    if not bool(ok):
+                        tree = None
+                        break
             elif new_hist != old:
                 tree = None
         else:

@@ -209,3 +209,92 @@ def descend_host(tree: Tree, action: int):
         root_std=tree.child_std[:, 0, slot],
         overflow=jnp.zeros((1,), jnp.int32),
     )
+
+
+def descend_device(tree: Tree, action):
+    """Jitted single-tree re-root at the root child playing `action`.
+
+    Device-side equivalent of ``descend_host`` (reference Node::descend,
+    node/mod.rs:95-102): reachability fixpoint over child links, then a
+    gather-based compaction with the new root at row 0.  Interior node
+    numbering differs from the host BFS, which is semantically irrelevant
+    (search kernels never depend on pool ordering, only on links, row 0,
+    and the scratch row).  Returns ``(tree2, ok)``; when ``ok`` is False
+    the child was never expanded and ``tree2`` must be discarded (the
+    caller rebuilds from the stepped env, as with the host version's
+    ``None``).  Avoids the ~100 MB device->host->device round trip per
+    TEI ``position`` command.
+    """
+    assert tree.batch_size == 1, "descend_device reuses single-game trees"
+    m, c = tree.child_action.shape[1], tree.child_action.shape[2]
+    action = jnp.asarray(action, jnp.int32)
+    ca0 = tree.child_action[0]
+    cn0 = tree.child_node[0]
+
+    hit = ca0[0] == action
+    slot = jnp.argmax(hit).astype(jnp.int32)
+    r = jnp.where(jnp.any(hit), cn0[0, slot], -1)
+    ok = r >= 0
+
+    # Reachability fixpoint from r (depth iterations bounded by tree depth).
+    reach0 = jnp.zeros((m,), bool).at[r.clip(0)].set(ok)
+
+    def cond(st):
+        _, count, prev = st
+        return count != prev
+
+    def body(st):
+        reach, count, _ = st
+        tgt = jnp.where(reach[:, None] & (cn0 >= 0), cn0, m)
+        reach2 = (
+            jnp.zeros((m + 1,), bool).at[tgt.reshape(-1)].set(True)[:m] | reach
+        )
+        return reach2, jnp.sum(reach2.astype(jnp.int32)), count
+
+    reach, k, _ = jax.lax.while_loop(
+        cond, body, (reach0, jnp.sum(reach0.astype(jnp.int32)), jnp.int32(-1))
+    )
+
+    # New numbering: r first, remaining reachable nodes in old-index order.
+    idx = jnp.arange(m, dtype=jnp.int32)
+    sort_key = jnp.where(reach, jnp.where(idx == r, -1, idx), m + 1)
+    perm = jnp.argsort(sort_key).astype(jnp.int32)  # perm[new] = old
+    remap = jnp.zeros((m,), jnp.int32).at[perm].set(idx)
+    live = idx < k
+
+    def pool(arr, fill):
+        a = arr[0]
+        g = a[perm]
+        mask = live.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(mask, g, jnp.full_like(a, fill))[None]
+
+    g_cn = cn0[perm]
+    new_cn = jnp.where(
+        live[:, None] & (g_cn >= 0), remap[g_cn.clip(0)], -1
+    )
+    g_par = tree.node_parent[0][perm]
+    new_par = jnp.where(live & (g_par >= 0), remap[g_par.clip(0)], -1)
+    new_par = new_par.at[0].set(-1)
+
+    return Tree(
+        node_parent=new_par[None],
+        node_slot=pool(tree.node_slot, -1).at[0, 0].set(-1),
+        node_incomplete=pool(tree.node_incomplete, False),
+        node_env=jax.tree.map(lambda x: x[0][perm][None], tree.node_env),
+        node_count=k[None],
+        child_action=pool(tree.child_action, -1),
+        child_logit=pool(tree.child_logit, 0.0),
+        child_prob=pool(tree.child_prob, 0.0),
+        child_visit=pool(tree.child_visit, 0),
+        child_flag=pool(tree.child_flag, 0),
+        child_ply=pool(tree.child_ply, 0),
+        child_value=pool(tree.child_value, 0.0),
+        child_std=pool(tree.child_std, 0.0),
+        child_node=new_cn[None],
+        root_visit=tree.child_visit[:, 0, slot],
+        root_flag=tree.child_flag[:, 0, slot],
+        root_ply=tree.child_ply[:, 0, slot],
+        root_value=tree.child_value[:, 0, slot],
+        root_std=tree.child_std[:, 0, slot],
+        overflow=jnp.zeros((1,), jnp.int32),
+    ), ok

@@ -98,3 +98,66 @@ def test_tei_reuses_tree_across_positions():
     # Unrelated position: tree dropped.
     e.handle("position startpos moves b2")
     assert e.tree is None
+
+
+def test_descend_device_matches_host():
+    """Device re-rooting is semantically identical to the host BFS version.
+
+    Interior numbering may differ; equality is pinned on root statistics,
+    live-node count, the root child row, and — decisively — on identical
+    search behavior afterwards (kernels never depend on pool ordering).
+    """
+    from takzero_tpu.search.tree import descend_device
+
+    eng = engine(3)
+    tree, state = _searched_tree(eng)
+    ca = np.asarray(tree.child_action[0, 0])
+    cv = np.asarray(tree.child_visit[0, 0])
+    cn = np.asarray(tree.child_node[0, 0])
+    slot = int(np.argmax(np.where(cn >= 0, cv, -1)))
+    action = int(ca[slot])
+
+    host = descend_host(tree, action)
+    dev, ok = jax.jit(descend_device)(tree, jnp.int32(action))
+    assert bool(ok)
+    assert int(dev.node_count[0]) == int(host.node_count[0])
+    for f in ("root_visit", "root_flag", "root_ply", "root_value", "root_std"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(dev, f)), np.asarray(getattr(host, f))
+        )
+    # Row 0 (the new root) is bit-identical: both numberings start at r.
+    for f in ("child_action", "child_visit", "child_flag", "child_value",
+              "child_prob", "child_std"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dev, f)[0, 0]), np.asarray(getattr(host, f)[0, 0]),
+            err_msg=f,
+        )
+
+    # Further search on either tree produces identical root statistics.
+    simulate, simulate_batch = make_kernels(
+        eng, simple_evaluator(eng), max_depth=16
+    )
+
+    @jax.jit
+    def more(tree):
+        tree = simulate(tree, jnp.zeros(1))
+        return simulate_batch(tree, jnp.zeros(1), 15)
+
+    h2, d2 = more(host), more(dev)
+    np.testing.assert_allclose(
+        np.asarray(h2.root_value), np.asarray(d2.root_value), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h2.root_visit), np.asarray(d2.root_visit)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(h2.child_visit[0, 0]), np.asarray(d2.child_visit[0, 0])
+    )
+
+    # Unexpanded child: ok=False where the host returns None.
+    unexp = np.nonzero((ca >= 0) & (cn < 0))[0]
+    if len(unexp):
+        bad_action = int(ca[int(unexp[0])])
+        assert descend_host(tree, bad_action) is None
+        _, ok2 = jax.jit(descend_device)(tree, jnp.int32(bad_action))
+        assert not bool(ok2)
