@@ -49,13 +49,18 @@ def main(argv=None):
     parser.add_argument("--budget", type=int, default=48)
     parser.add_argument("--sampled", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--novelty", default="simhash",
+                        choices=["simhash", "lcghash", "rnd", "ensemble", "none"])
+    parser.add_argument("--beta", type=float, default=0.0,
+                        help=">0 turns on exploration (beta on half the batch)")
     parser.add_argument("--out", default="tiny_run.json")
     args = parser.parse_args(argv)
 
     from takzero_tpu.models.network import NetConfig
     cfg = NetConfig(n=args.size, half_komi=args.half_komi,
                     filters=args.filters, blocks=args.blocks,
-                    novelty="simhash", hash_bits=16)
+                    novelty=args.novelty, hash_bits=16,
+                    rnd_filters=16, rnd_blocks=2, ensemble_size=8)
     eng = engine(cfg.n, half_komi=cfg.half_komi)
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -78,7 +83,8 @@ def main(argv=None):
     from takzero_tpu.selfplay import SelfplayConfig
     sp_cfg = SelfplayConfig(
         batch=args.batch, search_budget=args.budget,
-        sampled_actions=args.sampled,
+        sampled_actions=args.sampled, beta=args.beta,
+        exploration=args.beta > 0,
         max_children=64 if args.size <= 4 else 128, max_depth=40,
     )
     evaluator = make_net_evaluate(cfg, eng)
@@ -103,6 +109,18 @@ def main(argv=None):
             )
             bundle, opt_state, m = train_step(bundle, opt_state, batch, train_ube=True)
         losses.append(float(m["loss"]))
+        if cfg.novelty == "rnd" and it % 10 == 0:
+            # Periodic min/max normalization refresh, as the learn driver
+            # does every 100 steps (learn/src/rnd_normalization.rs:48-77).
+            from takzero_tpu.eee.harness import random_plane_batch
+            from takzero_tpu.models.agent import rnd_update_normalization
+            bundle = jax.jit(
+                lambda b, e, l: rnd_update_normalization(cfg, b, e, l)
+            )(
+                bundle,
+                random_plane_batch(eng, jax.random.PRNGKey(9), 4, 32),
+                random_plane_batch(eng, jax.random.PRNGKey(10), 20, 32),
+            )
         print(
             f"iter {it}: buffer={len(buffer)} loss={losses[-1]:.3f} "
             f"({time.time()-t0:.0f}s)",
