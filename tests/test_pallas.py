@@ -60,3 +60,40 @@ def test_lcghash_indices_still_deterministic():
     np.testing.assert_array_equal(i1, i2)
     assert (i1 < (1 << 20)).all()
     assert len(set(i1.tolist())) > 1
+
+
+def test_exact_topk_kernel_interpret():
+    """Radix-select top-k (experiment): exact vs the selection rule."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from takzero_tpu.ops.topk import (
+        exact_top_k_unsorted,
+        exact_top_k_unsorted_reference,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def rule(x, k):
+        order = np.lexsort((np.arange(x.shape[-1]), -x.astype(np.float64)))[:k]
+        return np.sort(order)
+
+    for mode in ("normal", "ties", "masked"):
+        if mode == "normal":
+            x = rng.standard_normal((3, 1030)).astype(np.float32)
+        elif mode == "ties":
+            x = rng.integers(0, 4, (3, 1030)).astype(np.float32)
+        else:
+            x = np.full((3, 1030), -3.0e38, np.float32)
+            for i in range(3):
+                j = rng.choice(1030, 20, replace=False)
+                x[i, j] = rng.standard_normal(20).astype(np.float32)
+        v, i = exact_top_k_unsorted(jnp.asarray(x), 16, interpret=True)
+        vr, ir = exact_top_k_unsorted_reference(jnp.asarray(x), 16)
+        for b in range(3):
+            want = rule(x[b], 16)
+            np.testing.assert_array_equal(np.asarray(i)[b], want, err_msg=mode)
+            np.testing.assert_allclose(np.asarray(v)[b], x[b][want])
+            np.testing.assert_array_equal(np.asarray(ir)[b], want)
+            np.testing.assert_allclose(np.asarray(vr)[b], x[b][want])
