@@ -196,6 +196,7 @@ class SelfplayEngine:
         s = self.eng.n * self.eng.n
         c = self.cfg.max_children
         cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1])
+        assert pk.shape[1] == cuts[-1] + 1, (pk.shape, cuts[-1] + 1)
         (
             action, tk, res, road, ube_b, pol_b, child_actions,
             height, owner_lo, owner_hi, tops, reserves, to_move, ply,
