@@ -54,6 +54,9 @@ def main(argv=None):
     parser.add_argument("--beta", type=float, default=0.0,
                         help=">0 turns on exploration (beta on half the batch)")
     parser.add_argument("--out", default="tiny_run.json")
+    parser.add_argument("--save-ckpt", default=None,
+                        help="write the final bundle here (e.g. for the "
+                        "puzzle benchmark driver)")
     args = parser.parse_args(argv)
 
     from takzero_tpu.models.network import NetConfig
@@ -159,6 +162,13 @@ def main(argv=None):
     print(json.dumps(summary), flush=True)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=1)
+    if args.save_ckpt:
+        import pathlib as _p
+
+        from takzero_tpu.utils import ckpt as _ckpt
+
+        out = _p.Path(args.save_ckpt)
+        _ckpt.save_checkpoint(out.parent or _p.Path("."), out.name, bundle)
     return summary
 
 
