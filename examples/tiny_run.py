@@ -51,6 +51,8 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--novelty", default="simhash",
                         choices=["simhash", "lcghash", "rnd", "ensemble", "none"])
+    parser.add_argument("--rnd-mlp", action="store_true",
+                        help="net5-style MLP RND instead of the conv tower")
     parser.add_argument("--beta", type=float, default=0.0,
                         help=">0 turns on exploration (beta on half the batch)")
     parser.add_argument("--out", default="tiny_run.json")
@@ -63,7 +65,8 @@ def main(argv=None):
     cfg = NetConfig(n=args.size, half_komi=args.half_komi,
                     filters=args.filters, blocks=args.blocks,
                     novelty=args.novelty, hash_bits=16,
-                    rnd_filters=16, rnd_blocks=2, ensemble_size=8)
+                    rnd_filters=16, rnd_blocks=2, ensemble_size=8,
+                    rnd_mlp=args.rnd_mlp)
     eng = engine(cfg.n, half_komi=cfg.half_komi)
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
