@@ -95,6 +95,12 @@ def main(argv=None):
     )
     evaluator = make_net_evaluate(cfg, eng)
     sp = SelfplayEngine(eng, sp_cfg, evaluator)
+    if cfg.novelty == "rnd":
+        from takzero_tpu.models.agent import rnd_update_normalization
+
+        rnd_norm = jax.jit(
+            lambda b, e, l: rnd_update_normalization(cfg, b, e, l)
+        )
     key, k0 = jax.random.split(key)
     sp.reset(k0)
     buffer: list = []
@@ -119,10 +125,7 @@ def main(argv=None):
             # Periodic min/max normalization refresh, as the learn driver
             # does every 100 steps (learn/src/rnd_normalization.rs:48-77).
             from takzero_tpu.eee.harness import random_plane_batch
-            from takzero_tpu.models.agent import rnd_update_normalization
-            bundle = jax.jit(
-                lambda b, e, l: rnd_update_normalization(cfg, b, e, l)
-            )(
+            bundle = rnd_norm(
                 bundle,
                 random_plane_batch(eng, jax.random.PRNGKey(9), 4, 32),
                 random_plane_batch(eng, jax.random.PRNGKey(10), 20, 32),

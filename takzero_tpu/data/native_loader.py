@@ -215,7 +215,6 @@ def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
     import jax
     import jax.numpy as jnp
 
-    from ..ops.repr import state_to_planes
     from ..train.learner import Batch
 
     from ..ops.repr import batch_planes_fn, scatter_policy

@@ -208,16 +208,22 @@ def main(argv=None) -> None:
             if args.no_wait:
                 # Tests: fit the chunk to the available full batches.
                 c = min(c, max(1, len(sp_buffer) // cfg.batch_size))
-            half_need = c * (cfg.batch_size // 2)
+            # Worst case every drained entry is on its last forced use and
+            # does not return to the buffer: gate on the chunk's FULL
+            # consumption per stream (full batches when not mixing).
+            need_sp = c * (
+                cfg.batch_size // 2 if using_reanalyze else cfg.batch_size
+            )
+            need_re = c * (cfg.batch_size // 2)
             min_sp = (
                 c * cfg.batch_size
                 if args.no_wait
-                else max(cfg.min_selfplay_buffer, half_need)
+                else max(cfg.min_selfplay_buffer, need_sp)
             )
             min_re = (
                 c * cfg.batch_size
                 if args.no_wait
-                else max(cfg.min_reanalyze_buffer, half_need)
+                else max(cfg.min_reanalyze_buffer, need_re)
             )
             enough_sp = len(sp_buffer) >= min_sp
             enough_re = not using_reanalyze or len(re_buffer) >= min_re

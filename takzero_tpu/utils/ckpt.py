@@ -149,45 +149,77 @@ class AsyncSaver:
     worker does the fetch + serialize + atomic write on a separate thread
     so the training loop keeps dispatching. jax device arrays are
     immutable, so snapshotting the pytree reference is race-free; writes
-    are ordered by a single worker thread (same guarantee as the
-    synchronous path). Call `drain()` before relying on the files.
+    to distinct names stay ordered by the single worker thread.
+
+    Robustness: a failed write is logged immediately AND re-raised on the
+    next submit/drain (a silent background failure would let a learner
+    train for days publishing nothing). Re-submitting a name that is
+    still queued REPLACES the pending snapshot (newest wins) — saves
+    slower than the cadence coalesce on ``model_latest.ckpt`` instead of
+    pinning an unbounded queue of ~600 MB bundles.
     """
 
     def __init__(self):
-        import queue
+        import collections
+        import logging
         import threading
 
-        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Condition()
+        self._order: "collections.deque" = collections.deque()
+        self._pending: dict = {}
         self._errors: list = []
+        self._busy = False
+        self._closed = False
+        self._log = logging.getLogger("ckpt")
         self._t = threading.Thread(target=self._run, daemon=True)
         self._t.start()
 
     def _run(self):
         while True:
-            item = self._q.get()
-            if item is None:
-                self._q.task_done()
-                return
-            directory, name, bundle = item
+            with self._lock:
+                while not self._order and not self._closed:
+                    self._lock.wait()
+                if self._closed and not self._order:
+                    return
+                name = self._order.popleft()
+                directory, bundle = self._pending.pop(name)
+                self._busy = True
             try:
                 save_checkpoint(directory, name, bundle)
-            except Exception as e:  # surfaced by drain()
-                self._errors.append(e)
+            except Exception as e:  # logged now, re-raised at next submit
+                self._log.error("async checkpoint save of %s failed: %s", name, e)
+                with self._lock:
+                    self._errors.append(e)
             finally:
-                self._q.task_done()
+                with self._lock:
+                    self._busy = False
+                    self._lock.notify_all()
+
+    def _raise_pending_errors(self):
+        with self._lock:
+            if self._errors:
+                err = self._errors[0]
+                self._errors.clear()
+                raise err
+
+    def submit(self, directory, name: str, bundle):
+        self._raise_pending_errors()
+        with self._lock:
+            if name not in self._pending:
+                self._order.append(name)
+            self._pending[name] = (directory, bundle)  # newest wins
+            self._lock.notify_all()
 
     def submit_latest_and_step(self, directory, step: int, bundle,
                                steps_per_save=100, steps_per_checkpoint=50_000):
         if step % steps_per_save == 0:
-            self._q.put((directory, "model_latest.ckpt", bundle))
+            self.submit(directory, "model_latest.ckpt", bundle)
         if step % steps_per_checkpoint == 0:
-            self._q.put((directory, f"model_{step:07d}.ckpt", bundle))
-
-    def submit(self, directory, name: str, bundle):
-        self._q.put((directory, name, bundle))
+            self.submit(directory, f"model_{step:07d}.ckpt", bundle)
 
     def drain(self):
         """Block until all queued saves hit disk; re-raise the first error."""
-        self._q.join()
-        if self._errors:
-            raise self._errors[0]
+        with self._lock:
+            while self._order or self._busy:
+                self._lock.wait()
+        self._raise_pending_errors()

@@ -161,3 +161,42 @@ def test_async_saver_orders_writes_and_drains(tmp_path):
     )
     saver.drain()
     assert (tmp_path / "model_0000200.ckpt").exists()
+
+
+def test_async_saver_surfaces_write_failures(tmp_path):
+    """A failed background save raises at the next submit (not silently)."""
+    import pytest
+
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.utils import ckpt
+
+    b = new_agent(CFG, seed=0)
+    saver = ckpt.AsyncSaver()
+    bad = tmp_path / "not-a-dir-parent" / "x" / "deep"
+    bad.parent.mkdir(parents=True)
+    bad.write_text("file, not a directory")  # save into a FILE path fails
+    saver.submit(bad, "model_latest.ckpt", b)
+    with pytest.raises(Exception):
+        saver.drain()
+    # Errors cleared after raising; the saver keeps working.
+    saver.submit(tmp_path, "model_latest.ckpt", b)
+    saver.drain()
+    assert (tmp_path / "model_latest.ckpt").exists()
+
+
+def test_async_saver_coalesces_same_name(tmp_path):
+    """Re-submitting a still-queued name replaces the snapshot (newest
+    wins) instead of queueing unbounded bundles."""
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.utils import ckpt
+
+    bundles = [new_agent(CFG, seed=i) for i in range(4)]
+    saver = ckpt.AsyncSaver()
+    for b in bundles:
+        saver.submit(tmp_path, "model_latest.ckpt", b)
+    saver.drain()
+    got = ckpt.load_checkpoint(tmp_path / "model_latest.ckpt", bundles[0])
+    ref = np.asarray(bundles[-1]["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(got["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"]), ref
+    )
