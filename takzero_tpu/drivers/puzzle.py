@@ -147,10 +147,28 @@ def main(argv=None) -> None:
         "--depths", default="3,5,7,9", help="tinue depths, comma-separated"
     )
     parser.add_argument("--avoidance-depths", default="2,4,6")
+    parser.add_argument("--filters", type=int, default=None,
+                        help="override the preset's core width (benchmark "
+                        "checkpoints trained at other sizes)")
+    parser.add_argument("--blocks", type=int, default=None)
+    parser.add_argument("--hash-bits", type=int, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     net_cfg = NET_PRESETS[args.net]
+    import dataclasses as _dc
+
+    overrides = {
+        k: v
+        for k, v in (
+            ("filters", args.filters),
+            ("blocks", args.blocks),
+            ("hash_bits", args.hash_bits),
+        )
+        if v is not None
+    }
+    if overrides:
+        net_cfg = _dc.replace(net_cfg, **overrides)
     n = net_cfg.n
     eng = engine(n, half_komi=net_cfg.half_komi)
     bundle = ckpt.load_checkpoint_partial(args.model, new_agent(net_cfg, seed=0))
