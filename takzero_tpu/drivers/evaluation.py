@@ -64,6 +64,10 @@ def main(argv=None) -> None:
     parser.add_argument("--max-moves", type=int, default=200)
     parser.add_argument("--rounds", type=int, default=None, help="for tests")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--fresh-tree", action="store_true",
+        help="disable cross-move tree reuse for both agents",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -77,6 +81,7 @@ def main(argv=None) -> None:
     compete = make_compete(
         eng, evaluator, args.sampled, args.budget,
         max_children=256 if net_cfg.n >= 6 else 128,
+        tree_reuse=not args.fresh_tree,
     )
     template = new_agent(net_cfg, seed=0)
 

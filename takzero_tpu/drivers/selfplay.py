@@ -40,6 +40,12 @@ def main(argv=None) -> None:
     parser.add_argument("--budget", type=int, default=None)
     parser.add_argument("--sampled", type=int, default=None)
     parser.add_argument(
+        "--fresh-tree",
+        action="store_true",
+        help="disable cross-move tree reuse (reference descends the chosen "
+        "subtree between moves; this restores round-1 fresh-tree behavior)",
+    )
+    parser.add_argument(
         "--dump-search",
         default=None,
         help="append per-move root action dumps (game 0) to this file "
@@ -61,6 +67,8 @@ def main(argv=None) -> None:
         overrides["search_budget"] = args.budget
     if args.sampled:
         overrides["sampled_actions"] = args.sampled
+    if args.fresh_tree:
+        overrides["tree_reuse"] = False
     sp_cfg = selfplay_preset(args.net, **overrides)
 
     evaluator = make_net_evaluate(net_cfg, eng)

@@ -5,6 +5,11 @@ half-moves across a batch of opening positions; the agent given first is
 "white" (it makes the first move from each opening).  Terminals are
 attributed to the player who just moved; finished games are frozen.
 Results are W/L/D from white's perspective.
+
+Both agents keep their own search tree for the whole game and descend by
+every move played — the mover's and the opponent's alike — so prior
+visits and solver proofs carry across moves (the reference steps both
+`BatchedMCTS` instances with the mover's actions, main.rs:236-299).
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ import numpy as np
 
 from .search.gumbel import make_gumbel_search
 from .search.policy import slot_action
-from .search.tree import init_tree
+from .search.tree import descend_batch, init_tree, reset_lanes
 from .tak.engine import TakEngine
 
 
@@ -45,20 +50,22 @@ def make_compete(
     search_budget: int = 768,
     max_children: int = 128,
     max_depth: int = 48,
+    tree_reuse: bool = True,
 ):
     """Build `compete(bundle_white, bundle_black, envs, key) -> Evaluation`."""
-    max_nodes = search_budget + 8
+    max_nodes = search_budget + 8 + (search_budget if tree_reuse else 0)
     step_b = jax.vmap(eng.step)
     terminal_b = jax.vmap(eng.terminal_kind)
 
-    def half_move(envs, bundle, key, frozen):
+    def half_move(envs, bundle, key, frozen, my_tree, opp_tree):
         evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
         search = make_gumbel_search(
             eng, evaluator, sampled_actions, search_budget, max_depth
         )
         b = envs.ply.shape[0]
-        tree = init_tree(eng, envs, max_nodes, max_children)
-        tree, slot = search(tree, key, jnp.zeros(b))
+        if not tree_reuse:
+            my_tree = init_tree(eng, envs, max_nodes, max_children)
+        tree, slot = search(my_tree, key, jnp.zeros(b))
         action = slot_action(tree, slot).clip(0)
         stepped = step_b(envs, action)
         # Finished games keep their final envs (no restart) — fused here
@@ -71,7 +78,19 @@ def make_compete(
             stepped,
         )
         tk = jnp.where(frozen, 0, terminal_b(nxt))
-        return nxt, tk
+        if tree_reuse:
+            my2, ok_m = descend_batch(tree, slot)
+            my_out = reset_lanes(my2, frozen | ~ok_m, nxt)
+            # The opponent's tree indexes children by its own slot layout:
+            # locate the played action there before descending.
+            hit = opp_tree.child_action[:, 0, :] == action[:, None]
+            opp_slot = jnp.argmax(hit, axis=1).astype(jnp.int32)
+            opp2, ok_o = descend_batch(opp_tree, opp_slot)
+            ok_o = ok_o & jnp.any(hit, axis=1)
+            opp_out = reset_lanes(opp2, frozen | ~ok_o, nxt)
+        else:
+            my_out, opp_out = tree, opp_tree
+        return nxt, tk, my_out, opp_out
 
     half_move_jit = jax.jit(half_move)
 
@@ -80,13 +99,19 @@ def make_compete(
         done = np.zeros(b, bool)
         ev = Evaluation()
         cur = envs
+        tree_w = init_tree(eng, envs, max_nodes, max_children)
+        tree_b = init_tree(eng, envs, max_nodes, max_children)
         for move in range(2 * max_moves):
             if done.all():
                 break
             is_white = move % 2 == 0
             bundle = bundle_white if is_white else bundle_black
+            my, opp = (tree_w, tree_b) if is_white else (tree_b, tree_w)
             key, k = jax.random.split(key)
-            cur, tk = half_move_jit(cur, bundle, k, jnp.asarray(done))
+            cur, tk, my, opp = half_move_jit(
+                cur, bundle, k, jnp.asarray(done), my, opp
+            )
+            tree_w, tree_b = (my, opp) if is_white else (opp, my)
             tk = np.asarray(tk)
             for g in range(b):
                 if done[g] or tk[g] == 0:

@@ -1,4 +1,4 @@
-"""Exact unsorted top-k: a Pallas TPU radix-select kernel (EXPERIMENT).
+"""Exact unsorted top-k: a Pallas TPU radix-select kernel.
 
 ``jax.lax.top_k`` over the full action space is the single most expensive
 non-matmul op in the fused search step (~27% of a selfplay sim-step at
@@ -6,16 +6,6 @@ A=9036; replacing it with a free stub measures 38.3k vs 30.1k sims/s).
 The search kernels never depend on child-slot ORDER — descent argmax,
 softmax probabilities, improved policy, and Gumbel root sampling are all
 slot-permutation-invariant — so an *unsorted* exact selection suffices.
-
-STATUS: exact on TPU but NOT faster — 0.98 ms vs lax.top_k's 0.39 ms
-isolated ([128, 9036] -> 64). The radix select itself is cheap (~0.2 ms);
-the slot-emission contraction dominates: per-row batched (1x128)@(128,64)
-MXU matmuls are latency-bound, and every [R,128,K]-shaped alternative
-pads K to 128 lanes and blows the 16 MB VMEM budget (measured 18-28 MB).
-A future attempt should emit indices only (values via XLA gather) through
-ONE large [S, A] @ [A, S*K] matmul with small-integer bf16 planes, which
-needs a layout-preserving (S,R,128)->(S,R*128) collapse. Not wired into
-search/core.py — kept with tests as the starting point for that attempt.
 
 Selection semantics: the k largest values per row, ties broken toward
 lower indices, output ordered by ascending index. (``lax.top_k``'s own
@@ -31,9 +21,16 @@ Algorithm, 8 batch rows per program, everything VMEM-resident:
 3. rank ties (elements == threshold) by flat index via prefix sums
    (within-lane-row prefix = a [128,128] triangular matmul on the MXU,
    across-row prefix = an [R,R] triangular matmul), keep the first
-   ``k - count(key > threshold)``;
-4. emit the selected (value, index) pairs to their output slots with a
-   batched one-hot contraction (position == slot), again on the MXU.
+   ``k - count(key > threshold)`` — giving the selection mask ``sel``;
+4. emit by *rank search* instead of one-hot scatter: per output slot k,
+   locate its source lane-row r_k through compares of the exclusive
+   row-prefix ``[P <= k] - [P+c <= k]`` (a [K,R] one-hot), pull that
+   row's within-row prefix/mask/values with ONE batched [K,R] @ [R,384]
+   matmul, and select the unique lane where the within-row rank equals
+   ``k - P[r_k]``.  No [R,K,128] temporaries, no per-row loop — this is
+   what a previous one-hot-emit design paid ~0.8 ms for (per-row
+   (1x128)@(128,64) matmuls are latency-bound, and [R,128,K] layouts pad
+   K to 128 lanes and blow the 16 MB VMEM budget).
 
 Mosaic notes: no unsigned types anywhere (signed-key trick instead), no
 cumsum (triangular matmuls instead), scalar reductions via keepdims, and
@@ -57,7 +54,7 @@ INT_MIN = -(2**31)
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _topk_kernel(k: int, x_ref, vals_ref, idx_ref, posq_ref):
+def _topk_kernel(k: int, x_ref, vals_ref, idx_ref):
     t_all = x_ref[:]  # [S, R, 128] f32 (padded with -inf)
     s, r, _ = t_all.shape
 
@@ -92,53 +89,55 @@ def _topk_kernel(k: int, x_ref, vals_ref, idx_ref, posq_ref):
         < jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
     ).astype(jnp.float32)  # [j, r'] = j < r'
 
-    def prefix(mf):  # [S,R,128] f32 mask -> strict flat-index prefix counts
-        within = jax.lax.dot_general(
+    def within_prefix(mf):  # [S,R,128] mask -> strict within-row prefix
+        return jax.lax.dot_general(
             mf, tri_l, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
-        )  # [S,R,128]
-        rowsum = jnp.sum(mf, axis=2)  # [S,R]
-        rowcum = jax.lax.dot_general(
+        )
+
+    def row_exclusive(rowsum):  # [S,R] counts -> exclusive row prefix
+        return jax.lax.dot_general(
             rowsum, tri_r_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
-        )  # [S,R]
-        return within + rowcum[:, :, None]
+        )
 
-    sel = gt + eq * (prefix(eq) < need_eq).astype(jnp.float32)
-    pos = prefix(sel)
-    # Stage through VMEM scratch: the per-row emit below reads rows back
-    # with dynamic ref indexing (dynamic_slice on VALUES is unsupported).
-    posq_ref[:] = jnp.where(sel > 0.0, pos, -1.0)
+    eq_w = within_prefix(eq)
+    eq_p = row_exclusive(jnp.sum(eq, axis=2))
+    sel = gt + eq * ((eq_w + eq_p[:, :, None]) < need_eq).astype(jnp.float32)
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
-    fidx = (row_i * LANES + lane_i).astype(jnp.float32)
-    slot_i = jax.lax.broadcasted_iota(jnp.int32, (r, k, LANES), 1).astype(
+    # Rank-search emit (step 4 of the module docstring).
+    w_in = within_prefix(sel)  # [S,R,128] strict within-row rank
+    c_row = jnp.sum(sel, axis=2)  # [S,R]
+    p_row = row_exclusive(c_row)  # [S,R] exclusive prefix
+
+    kio = jax.lax.broadcasted_iota(jnp.float32, (s, k, r), 1)  # slot ids
+    pb = p_row[:, None, :]  # [S,1,R]
+    cb = c_row[:, None, :]
+    oh_r = (pb <= kio).astype(jnp.float32) - (pb + cb <= kio).astype(
         jnp.float32
-    )  # [R,K,128]: slots on SUBLANES — a [R,128,K] layout pads K to 128
-    # lanes and doubles every 3D temp, blowing the 16 MB VMEM budget.
+    )  # [S,K,R] one-hot: the lane-row holding rank k
 
-    def per_row(si, carry):
-        tv = x_ref[pl.ds(si, 1), :, :][0]
-        posq2 = posq_ref[pl.ds(si, 1), :, :].reshape(r, LANES)
-        # Zero unselected values: the -inf padding would turn the 0-weight
-        # products below into NaN.
-        tv = jnp.where(posq2 >= 0.0, tv, 0.0)
-        posq3 = posq2[:, None, :]
-        onehot = (posq3 == slot_i).astype(jnp.float32)  # [R,K,128]
+    xz = jnp.where(sel > 0.0, t_all, 0.0)  # -inf pad would make 0*x NaN
+    rhs = jnp.concatenate([w_in, sel, xz], axis=2)  # [S,R,384]
+    got = jax.lax.dot_general(
+        oh_r, rhs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )  # [S,K,384]: the chosen row's prefix / mask / values per slot
+    w_k = got[:, :, :LANES]
+    sel_k = got[:, :, LANES : 2 * LANES]
+    x_k = got[:, :, 2 * LANES :]
 
-        def contract(v):
-            out = jax.lax.dot_general(
-                v[:, None, :], onehot, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )  # [R,1,K]
-            return jnp.sum(out[:, 0, :], axis=0, keepdims=True)  # [1,K]
-
-        vals_ref[pl.ds(si, 1), :] = contract(tv)
-        idx_ref[pl.ds(si, 1), :] = (contract(fidx) + 0.5).astype(jnp.int32)
-        return carry
-
-    jax.lax.fori_loop(0, s, per_row, 0, unroll=1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (s, k), 1)
+    t_k = kk - jnp.sum(oh_r * pb, axis=2)  # within-row target rank
+    r_k = jnp.sum(
+        oh_r * jax.lax.broadcasted_iota(jnp.float32, (s, k, r), 2), axis=2
+    )
+    pick = sel_k * (w_k == t_k[:, :, None]).astype(jnp.float32)  # [S,K,128]
+    lane = jnp.sum(
+        pick * jax.lax.broadcasted_iota(jnp.float32, (s, k, LANES), 2), axis=2
+    )
+    vals_ref[:] = jnp.sum(pick * x_k, axis=2)
+    idx_ref[:] = (r_k * LANES + lane + 0.5).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -175,10 +174,10 @@ def exact_top_k_unsorted(x: jnp.ndarray, k: int, interpret: bool = False):
                 pl.BlockSpec((s, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((s, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((s, r, LANES), jnp.float32)],
         ),
         cost_estimate=pl.CostEstimate(
-            flops=bp * (35 * r * LANES + 2 * r * LANES * LANES + r * LANES * k * 3),
+            flops=bp
+            * (35 * r * LANES + 2 * r * LANES * LANES + 2 * k * r * 3 * LANES),
             bytes_accessed=x.size * 4 + b * k * 8,
             transcendentals=0,
         ),

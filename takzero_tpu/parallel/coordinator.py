@@ -34,7 +34,15 @@ def append_lines(directory, name: str, lines) -> None:
 
 
 class Tailer:
-    """Incremental line reader with a persistent offset (learn:292-320)."""
+    """Incremental line reader with a persistent offset (learn:292-320).
+
+    The reference asserts target files never shrink (learn:303-304).  A
+    rotated/rewritten file would make that assumption silently wedge the
+    reader (seek past EOF reads nothing forever) — instead, a shrink is
+    detected via file size and the offset resets to 0, re-tailing the new
+    content from the start (the same "resume = re-tail" recovery the
+    protocol already relies on, SURVEY.md §5.3/§5.4).
+    """
 
     def __init__(self, directory, name: str):
         self.path = pathlib.Path(directory) / name
@@ -43,6 +51,8 @@ class Tailer:
     def read_new_lines(self) -> list[str]:
         if not self.path.exists():
             return []
+        if self.path.stat().st_size < self.offset:
+            self.offset = 0  # file was truncated/rewritten
         with open(self.path, "r", encoding="utf-8") as f:
             f.seek(self.offset)
             data = f.read()

@@ -211,77 +211,82 @@ def descend_host(tree: Tree, action: int):
     )
 
 
-def descend_device(tree: Tree, action):
-    """Jitted single-tree re-root at the root child playing `action`.
+def descend_batch(tree: Tree, slot):
+    """Jitted batched re-root: every lane descends to its root child `slot`.
 
-    Device-side equivalent of ``descend_host`` (reference Node::descend,
-    node/mod.rs:95-102): reachability fixpoint over child links, then a
-    gather-based compaction with the new root at row 0.  Interior node
-    numbering differs from the host BFS, which is semantically irrelevant
-    (search kernels never depend on pool ordering, only on links, row 0,
-    and the scratch row).  Returns ``(tree2, ok)``; when ``ok`` is False
-    the child was never expanded and ``tree2`` must be discarded (the
-    caller rebuilds from the stepped env, as with the host version's
-    ``None``).  Avoids the ~100 MB device->host->device round trip per
-    TEI ``position`` command.
+    Device-side tree reuse across moves for selfplay and evaluation
+    (reference ``BatchedMCTS::step`` → ``node.descend(action)``,
+    node/batched.rs:131-144, node/mod.rs:95-102): prior visits and solver
+    proofs seed the next move's search.
+
+    Reachability runs via parent-pointer doubling — parents are always
+    allocated before children, so chains strictly decrease and
+    ``ceil(log2(M))`` rounds of [B,M] gathers converge — far cheaper than
+    a child-link scatter fixpoint over the [B,M,C] slot arrays.  Then one
+    gather-based compaction renumbers the kept subtree with the new root
+    at row 0.  Interior numbering is search-irrelevant (kernels depend
+    only on links, row 0, and the scratch row).
+
+    Returns ``(tree2, ok[B])``.  Lanes where ``ok`` is False (the chosen
+    child was never expanded) contain empty trees and must be reset by
+    the caller (``reset_lanes``) with the stepped environment.
     """
-    assert tree.batch_size == 1, "descend_device reuses single-game trees"
-    m, c = tree.child_action.shape[1], tree.child_action.shape[2]
-    action = jnp.asarray(action, jnp.int32)
-    ca0 = tree.child_action[0]
-    cn0 = tree.child_node[0]
-
-    hit = ca0[0] == action
-    slot = jnp.argmax(hit).astype(jnp.int32)
-    r = jnp.where(jnp.any(hit), cn0[0, slot], -1)
+    b, m, c = tree.child_action.shape
+    bar = jnp.arange(b)
+    slot = jnp.asarray(slot, jnp.int32).clip(0, c - 1)
+    r = tree.child_node[bar, 0, slot]  # [B] new-root pool row
     ok = r >= 0
 
-    # Reachability fixpoint from r (depth iterations bounded by tree depth).
-    reach0 = jnp.zeros((m,), bool).at[r.clip(0)].set(ok)
-
-    def cond(st):
-        _, count, prev = st
-        return count != prev
-
-    def body(st):
-        reach, count, _ = st
-        tgt = jnp.where(reach[:, None] & (cn0 >= 0), cn0, m)
-        reach2 = (
-            jnp.zeros((m + 1,), bool).at[tgt.reshape(-1)].set(True)[:m] | reach
-        )
-        return reach2, jnp.sum(reach2.astype(jnp.int32)), count
-
-    reach, k, _ = jax.lax.while_loop(
-        cond, body, (reach0, jnp.sum(reach0.astype(jnp.int32)), jnp.int32(-1))
-    )
-
-    # New numbering: r first, remaining reachable nodes in old-index order.
     idx = jnp.arange(m, dtype=jnp.int32)
-    sort_key = jnp.where(reach, jnp.where(idx == r, -1, idx), m + 1)
-    perm = jnp.argsort(sort_key).astype(jnp.int32)  # perm[new] = old
-    remap = jnp.zeros((m,), jnp.int32).at[perm].set(idx)
-    live = idx < k
+    reach = idx[None, :] == r[:, None]
+    # -1 chains (roots / unexpanded rows) park on the scratch row, which is
+    # never a real parent and never equals r.
+    anc = jnp.where(tree.node_parent >= 0, tree.node_parent, m - 1)
+    for _ in range(max(1, (m - 1).bit_length())):
+        reach = reach | jnp.take_along_axis(reach, anc, axis=1)
+        anc = jnp.take_along_axis(anc, anc, axis=1)
+
+    k = jnp.sum(reach, axis=1).astype(jnp.int32)  # [B]
+    # New numbering: r first, remaining kept nodes in old-index order.
+    sort_key = jnp.where(
+        reach, jnp.where(idx[None, :] == r[:, None], -1, idx[None, :]), m + 1
+    )
+    perm = jnp.argsort(sort_key, axis=1).astype(jnp.int32)  # perm[new] = old
+    remap = (
+        jnp.zeros((b, m), jnp.int32)
+        .at[bar[:, None], perm]
+        .set(jnp.broadcast_to(idx[None, :], (b, m)))
+    )
+    live = idx[None, :] < k[:, None]
 
     def pool(arr, fill):
-        a = arr[0]
-        g = a[perm]
-        mask = live.reshape((-1,) + (1,) * (a.ndim - 1))
-        return jnp.where(mask, g, jnp.full_like(a, fill))[None]
+        p = perm.reshape((b, m) + (1,) * (arr.ndim - 2))
+        g = jnp.take_along_axis(
+            arr, jnp.broadcast_to(p, (b, m) + arr.shape[2:]), axis=1
+        )
+        mask = live.reshape((b, m) + (1,) * (arr.ndim - 2))
+        return jnp.where(mask, g, jnp.asarray(fill, arr.dtype))
 
-    g_cn = cn0[perm]
+    g_cn = pool(tree.child_node, -1)
     new_cn = jnp.where(
-        live[:, None] & (g_cn >= 0), remap[g_cn.clip(0)], -1
+        g_cn >= 0,
+        jnp.take_along_axis(remap, g_cn.clip(0).reshape(b, -1), axis=1).reshape(
+            b, m, c
+        ),
+        -1,
     )
-    g_par = tree.node_parent[0][perm]
-    new_par = jnp.where(live & (g_par >= 0), remap[g_par.clip(0)], -1)
-    new_par = new_par.at[0].set(-1)
+    g_par = pool(tree.node_parent, -1)
+    new_par = jnp.where(
+        g_par >= 0, jnp.take_along_axis(remap, g_par.clip(0), axis=1), -1
+    )
+    new_par = new_par.at[:, 0].set(-1)
 
     return Tree(
-        node_parent=new_par[None],
-        node_slot=pool(tree.node_slot, -1).at[0, 0].set(-1),
+        node_parent=new_par,
+        node_slot=pool(tree.node_slot, -1).at[:, 0].set(-1),
         node_incomplete=pool(tree.node_incomplete, False),
-        node_env=jax.tree.map(lambda x: x[0][perm][None], tree.node_env),
-        node_count=k[None],
+        node_env=jax.tree.map(lambda x: pool(x, 0), tree.node_env),
+        node_count=jnp.maximum(k, 1),
         child_action=pool(tree.child_action, -1),
         child_logit=pool(tree.child_logit, 0.0),
         child_prob=pool(tree.child_prob, 0.0),
@@ -290,11 +295,30 @@ def descend_device(tree: Tree, action):
         child_ply=pool(tree.child_ply, 0),
         child_value=pool(tree.child_value, 0.0),
         child_std=pool(tree.child_std, 0.0),
-        child_node=new_cn[None],
-        root_visit=tree.child_visit[:, 0, slot],
-        root_flag=tree.child_flag[:, 0, slot],
-        root_ply=tree.child_ply[:, 0, slot],
-        root_value=tree.child_value[:, 0, slot],
-        root_std=tree.child_std[:, 0, slot],
-        overflow=jnp.zeros((1,), jnp.int32),
+        child_node=new_cn,
+        root_visit=tree.child_visit[bar, 0, slot],
+        root_flag=tree.child_flag[bar, 0, slot],
+        root_ply=tree.child_ply[bar, 0, slot],
+        root_value=tree.child_value[bar, 0, slot],
+        root_std=tree.child_std[bar, 0, slot],
+        overflow=jnp.zeros((b,), jnp.int32),
     ), ok
+
+
+def descend_device(tree: Tree, action):
+    """Jitted single-tree re-root at the root child playing `action`.
+
+    The serve path's tree reuse across TEI ``position`` commands
+    (tei/src/main.rs:174-201) — an action-keyed wrapper over
+    ``descend_batch`` at B=1.  Returns ``(tree2, ok)``; when ``ok`` is
+    False the child was never expanded (or the action is not a root
+    child) and ``tree2`` must be discarded — the caller rebuilds from the
+    stepped environment, as with ``descend_host``'s ``None``.  Avoids the
+    ~100 MB device->host->device round trip per ``position`` command.
+    """
+    assert tree.batch_size == 1, "descend_device reuses single-game trees"
+    action = jnp.asarray(action, jnp.int32)
+    hit = tree.child_action[0, 0] == action
+    slot = jnp.argmax(hit).astype(jnp.int32)
+    tree2, ok = descend_batch(tree, slot[None])
+    return tree2, ok[0] & jnp.any(hit)

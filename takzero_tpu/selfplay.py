@@ -32,7 +32,7 @@ from .search.policy import (
     slot_action,
     ube_target,
 )
-from .search.tree import init_tree
+from .search.tree import descend_batch, init_tree, reset_lanes
 from .tak import state_to_tps
 from .tak.engine import TakEngine
 
@@ -48,10 +48,15 @@ class SelfplayConfig:
     max_children: int = 128
     max_depth: int = 48
     discount: float = ev.DISCOUNT
+    # Carry the chosen child's subtree across moves (reference
+    # BatchedMCTS::step → Node::descend, batched.rs:131-144).
+    tree_reuse: bool = True
 
     @property
     def max_nodes(self) -> int:
-        return self.search_budget + 8
+        # With tree reuse the pool must hold the carried subtree plus a
+        # full budget of fresh expansions (the reference heap-allocates).
+        return self.search_budget + 8 + (self.search_budget if self.tree_reuse else 0)
 
     @property
     def improved_policy_visitations(self) -> float:
@@ -90,13 +95,14 @@ class SelfplayEngine:
         self._opening = make_new_opening(eng)
         self._betas = jnp.asarray(cfg.betas())
 
-        def move_fn(envs, bundle, key):
+        def move_fn(envs, tree, bundle, key):
             evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
             srch = make_gumbel_search(
                 eng, evaluator, cfg.sampled_actions, cfg.search_budget, cfg.max_depth
             )
             k_search, k_sample, k_open = jax.random.split(key, 3)
-            tree = init_tree(eng, envs, cfg.max_nodes, cfg.max_children)
+            if not cfg.tree_reuse:
+                tree = init_tree(eng, envs, cfg.max_nodes, cfg.max_children)
             tree, slot = srch(tree, k_search, self._betas)
             weighted = envs.ply < cfg.weighted_random_plies
             sp_slot = select_selfplay_slot(tree, k_sample)
@@ -123,6 +129,13 @@ class SelfplayEngine:
                 fresh,
                 stepped,
             )
+            if cfg.tree_reuse:
+                # Carry the chosen subtree; finished games and unexpanded
+                # choices restart from fresh/stepped roots.
+                tree2, ok = descend_batch(tree, slot)
+                tree_out = reset_lanes(tree2, done | ~ok, nxt)
+            else:
+                tree_out = tree  # unused next move (fresh init above)
             # Root statistics exported for offline search analysis
             # (tools/analyze_search.py; reference runs/*.txt dumps).
             root = dict(
@@ -160,16 +173,20 @@ class SelfplayEngine:
                 ],
                 axis=1,
             )
-            return nxt, packed, root
+            return nxt, tree_out, packed, root
 
         self._move = jax.jit(move_fn)
         self.envs = None
+        self.tree = None
         self.logs: list[GameLog] = []
         self.last_root = None
         self._envs_host = None
 
     def reset(self, key):
         self.envs = self._opening(key, self.cfg.batch)
+        self.tree = init_tree(
+            self.eng, self.envs, self.cfg.max_nodes, self.cfg.max_children
+        )
         host = jax.tree.map(np.asarray, self.envs)
         self._envs_host = host
         self.logs = [
@@ -186,8 +203,9 @@ class SelfplayEngine:
         envs_before = self._envs_host
         if envs_before is None:
             envs_before = jax.tree.map(np.asarray, self.envs)
-        nxt, packed, root = self._move(self.envs, bundle, key)
+        nxt, tree_out, packed, root = self._move(self.envs, self.tree, bundle, key)
         self.envs = nxt
+        self.tree = tree_out
         # Device-side; fetched lazily by the --dump-search path only.
         self.last_root = root
 

@@ -161,3 +161,81 @@ def test_descend_device_matches_host():
         assert descend_host(tree, bad_action) is None
         _, ok2 = jax.jit(descend_device)(tree, jnp.int32(bad_action))
         assert not bool(ok2)
+
+
+def test_descend_batch_carries_visits_across_move():
+    """[B] trees re-root in lockstep: carried visits/proofs survive a move
+    (reference BatchedMCTS::step + Node::descend, batched.rs:131-144)."""
+    from takzero_tpu.search.tree import descend_batch, reset_lanes
+
+    eng = engine(3)
+    simulate, simulate_batch = make_kernels(
+        eng, simple_evaluator(eng), max_depth=16
+    )
+
+    @jax.jit
+    def run(tree):
+        tree = simulate(tree, jnp.zeros(tree.batch_size))
+        return simulate_batch(tree, jnp.zeros(tree.batch_size), 47)
+
+    # Three different openings.
+    states = []
+    for moves in (("a3", "c1"), ("b2",), ("a1", "b1")):
+        s = eng.initial()
+        for mv in moves:
+            s = eng.step_jit(s, ptn_to_action(eng.n, mv))
+        states.append(s)
+    envs = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    tree = run(init_tree(eng, envs, 256, 48))
+
+    ca = np.asarray(tree.child_action[:, 0])
+    cv = np.asarray(tree.child_visit[:, 0])
+    cn = np.asarray(tree.child_node[:, 0])
+    slots = np.argmax(np.where(cn >= 0, cv, -1), axis=1)
+
+    sub, ok = jax.jit(descend_batch)(tree, jnp.asarray(slots))
+    assert bool(np.asarray(ok).all())
+    bar = np.arange(3)
+    # Root stats carried from the chosen edges, per lane.
+    np.testing.assert_array_equal(
+        np.asarray(sub.root_visit), cv[bar, slots]
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub.root_value),
+        np.asarray(tree.child_value[:, 0])[bar, slots],
+    )
+    # Row 0 equals each lane's old child-node row.
+    for f in ("child_action", "child_visit", "child_flag", "child_value"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sub, f)[bar, 0]),
+            np.asarray(getattr(tree, f))[bar, cn[bar, slots]],
+            err_msg=f,
+        )
+    # Root envs are the stepped positions.
+    for i in range(3):
+        stepped = eng.step_jit(states[i], int(ca[i, slots[i]]))
+        np.testing.assert_array_equal(
+            np.asarray(sub.node_env.height[i, 0]), np.asarray(stepped.height)
+        )
+    # Node counts shrink but stay positive; further search works per lane.
+    k = np.asarray(sub.node_count)
+    assert (k >= 1).all() and (k < np.asarray(tree.node_count)).all()
+    sub2 = jax.jit(simulate)(sub, jnp.zeros(3))
+    np.testing.assert_array_equal(
+        np.asarray(sub2.root_visit), np.asarray(sub.root_visit) + 1
+    )
+
+    # A lane pointed at an unexpanded slot reports ok=False and can be
+    # reset in place while other lanes keep their subtrees.
+    unexp = np.argmax((ca >= 0) & (cn < 0), axis=1)
+    if ((ca[bar, unexp] >= 0) & (cn[bar, unexp] < 0)).any():
+        mixed = slots.copy()
+        lane = int(
+            np.argmax((ca[bar, unexp] >= 0) & (cn[bar, unexp] < 0))
+        )
+        mixed[lane] = unexp[lane]
+        sub3, ok3 = jax.jit(descend_batch)(tree, jnp.asarray(mixed))
+        ok3 = np.asarray(ok3)
+        assert not ok3[lane]
+        fresh = reset_lanes(sub3, jnp.asarray(~ok3), envs)
+        assert int(fresh.node_count[lane]) == 1

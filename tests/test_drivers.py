@@ -93,3 +93,31 @@ def test_full_loop(tmp_path):
     t = Target.from_line(3, lines[0])
     assert abs(t.value) <= 1.0
     assert 0 <= t.ube <= 4.0
+
+
+def test_tailer_tolerates_truncated_file(tmp_path):
+    """Fault injection: a rotated/rewritten target file must not wedge the
+    reader (SURVEY.md §5.3 assumes files never shrink; Tailer recovers by
+    re-tailing from offset 0)."""
+    d = str(tmp_path)
+    tail = co.Tailer(d, co.TARGETS_SELFPLAY)
+    path = pathlib.Path(d) / co.TARGETS_SELFPLAY
+
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["a", "b", "c"])
+    assert tail.read_new_lines() == ["a", "b", "c"]
+
+    # Truncate-rewrite with SHORTER content: offset is past EOF.
+    path.write_text("x\n")
+    assert tail.read_new_lines() == ["x"]
+
+    # Appends keep flowing after the recovery.
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["y"])
+    assert tail.read_new_lines() == ["y"]
+
+    # Torn (partial) final line is left for the next read.
+    with open(path, "a", encoding="utf-8") as f:
+        f.write("partial")
+    assert tail.read_new_lines() == []
+    with open(path, "a", encoding="utf-8") as f:
+        f.write("-done\n")
+    assert tail.read_new_lines() == ["partial-done"]
