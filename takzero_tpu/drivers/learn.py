@@ -59,6 +59,15 @@ def main(argv=None) -> None:
         "--no-wait). Chunks never cross a checkpoint boundary, so the "
         "save/normalization cadence is unchanged.",
     )
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="data-parallel training over the first N visible devices: "
+        "target batch sharded over a dp mesh, params/optimizer state "
+        "replicated, gradient all-reduce inserted by GSPMD (the TPU-native "
+        "analog of the reference's per-GPU actor fleet, SURVEY.md §2.5)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -71,6 +80,33 @@ def main(argv=None) -> None:
     net_cfg = NET_PRESETS[args.net]
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
     rng = np.random.default_rng(args.seed)
+
+    mesh = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        if cfg.batch_size % args.devices:
+            parser.error(
+                f"--batch-size {cfg.batch_size} not divisible by "
+                f"--devices {args.devices}"
+            )
+        mesh = pm.make_mesh(args.devices)
+        log.info("data-parallel over %d devices: %s", args.devices, mesh)
+
+    def place_batch(batch, batch_dim=0):
+        """Shard a host batch over dp (no-op without --devices)."""
+        if mesh is None:
+            return batch
+        from ..parallel import mesh as pm
+
+        return pm.shard_batch(mesh, batch, batch_dim=batch_dim)
+
+    def place_replicated(tree):
+        if mesh is None:
+            return tree
+        from ..parallel import mesh as pm
+
+        return pm.replicate(mesh, tree)
 
     tx = make_optimizer(cfg.learning_rate)
     train_step = jax.jit(make_train_step(net_cfg, tx), static_argnames=("train_ube",))
@@ -91,6 +127,8 @@ def main(argv=None) -> None:
     else:
         steps = 0
         ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
+    bundle = place_replicated(bundle)
+    opt_state = place_replicated(opt_state)
 
     if args.restart_targets:
         lines = valid_target_lines(
@@ -98,9 +136,9 @@ def main(argv=None) -> None:
         )
         rng.shuffle(lines)
         for i in range(0, len(lines) - cfg.batch_size + 1, cfg.batch_size):
-            batch = make_batch_native(
+            batch = place_batch(make_batch_native(
                 eng, "\n".join(lines[i : i + cfg.batch_size]) + "\n", rng
-            )
+            ))
             bundle, opt_state, _ = train_step(bundle, opt_state, batch, train_ube=False)
             steps += 1
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
@@ -115,7 +153,7 @@ def main(argv=None) -> None:
             chunk = targets[i * cfg.batch_size : (i + 1) * cfg.batch_size]
             if len(chunk) < cfg.batch_size:
                 break
-            batch = make_batch(eng, chunk, rng)
+            batch = place_batch(make_batch(eng, chunk, rng))
             bundle, opt_state, m = train_step(bundle, opt_state, batch, train_ube=False)
             if i % 100 == 0:
                 log.info("pretrain %d: %s", i, jax.tree.map(float, m))
@@ -132,8 +170,12 @@ def main(argv=None) -> None:
         from ..models.agent import rnd_update_normalization
 
         rnd_refs = (
-            random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xE), 8, 64),
-            random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xF), 60, 64),
+            place_batch(
+                random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xE), 8, 64)
+            ),
+            place_batch(
+                random_plane_batch(eng, jax.random.PRNGKey(args.seed ^ 0xF), 60, 64)
+            ),
         )
         rnd_norm = jax.jit(
             lambda b, e, l: rnd_update_normalization(net_cfg, b, e, l)
@@ -257,12 +299,13 @@ def main(argv=None) -> None:
             )
         if c == 1:
             bundle, opt_state, metrics = train_step(
-                bundle, opt_state, chunk_batches[0], train_ube=True
+                bundle, opt_state, place_batch(chunk_batches[0]), train_ube=True
             )
             metrics = jax.tree.map(lambda x: jax.numpy.asarray(x)[None], metrics)
         else:
-            batches = jax.tree.map(
-                lambda *xs: jax.numpy.stack(xs), *chunk_batches
+            batches = place_batch(
+                jax.tree.map(lambda *xs: jax.numpy.stack(xs), *chunk_batches),
+                batch_dim=1,
             )
             bundle, opt_state, metrics = train_chunk(
                 bundle, opt_state, batches, train_ube=True

@@ -46,6 +46,14 @@ def main(argv=None) -> None:
         "subtree between moves; this restores round-1 fresh-tree behavior)",
     )
     parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="shard the game batch (env + tree arrays) over the first N "
+        "visible devices under a dp mesh, model replicated — the in-chip "
+        "analog of the reference's actor fleet (SURVEY.md §2.5/§5.7)",
+    )
+    parser.add_argument(
         "--dump-search",
         default=None,
         help="append per-move root action dumps (game 0) to this file "
@@ -71,13 +79,38 @@ def main(argv=None) -> None:
         overrides["tree_reuse"] = False
     sp_cfg = selfplay_preset(args.net, **overrides)
 
+    mesh = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        if sp_cfg.batch % args.devices:
+            parser.error(
+                f"--batch {sp_cfg.batch} not divisible by --devices {args.devices}"
+            )
+        mesh = pm.make_mesh(args.devices)
+        log.info("game batch sharded over %d devices: %s", args.devices, mesh)
+
     evaluator = make_net_evaluate(net_cfg, eng)
     sp = SelfplayEngine(eng, sp_cfg, evaluator)
     key, k0 = jax.random.split(key)
     sp.reset(k0)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+
+        # Env and tree arrays are batch-leading; the jitted move step
+        # propagates these shardings (GSPMD all-gathers the novelty-bitset
+        # updates, everything else stays lane-local).
+        sp.envs = pm.shard_batch(mesh, sp.envs)
+        sp.tree = pm.shard_batch(mesh, sp.tree)
 
     bundle = new_agent(net_cfg, seed=int(seed))
-    poller = ckpt.LatestPoller(args.directory)
+    rep = None
+    if mesh is not None:
+        from ..parallel import mesh as pm
+
+        rep = pm.replicated(mesh)
+        bundle = pm.replicate(mesh, bundle)
+    poller = ckpt.LatestPoller(args.directory, sharding=rep)
     steps = 0
     while args.max_steps is None or steps < args.max_steps:
         steps += 1

@@ -1,4 +1,4 @@
-"""Device meshes and sharded training/selfplay steps.
+"""Device meshes and sharding placement helpers.
 
 The reference scales by running many single-GPU actor processes plus one
 learner (SURVEY.md §2.5).  The TPU-native equivalents:
@@ -12,9 +12,13 @@ learner (SURVEY.md §2.5).  The TPU-native equivalents:
   set is all-gathered by GSPMD automatically since updates read the full
   batch).
 
-Single-process multi-host extension (jax.distributed) keeps this layout;
-cross-job coordination stays on the filesystem protocol
-(parallel/coordinator.py), mirroring the reference's proven decoupling.
+``drivers/learn.py`` and ``drivers/selfplay.py`` expose this through
+``--devices N``: they place inputs with these helpers and let the jitted
+step propagate the shardings — no separate multi-device code path.
+Single-process multi-host extension (jax.distributed, parallel/
+multihost.py) keeps this layout; cross-job coordination stays on the
+filesystem protocol (parallel/coordinator.py), mirroring the reference's
+proven decoupling (README.md:128-135).
 """
 
 from __future__ import annotations
@@ -27,6 +31,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"--devices {n_devices} but only {len(devices)} visible"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
@@ -39,30 +47,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
-    """Place a batch-leading pytree with axis 0 sharded over the mesh."""
-    sh = batch_sharding(mesh, axis)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))),
-        batch,
-    )
+def shard_batch(mesh: Mesh, batch, axis: str = "dp", batch_dim: int = 0):
+    """Place a pytree with `batch_dim` sharded over the mesh.
+
+    ``batch_dim=0`` for plain batches; the learner's chunked path stacks
+    K batches to [K, B, ...] and shards ``batch_dim=1``.
+    """
+
+    def put(x):
+        spec = [None] * x.ndim
+        spec[batch_dim] = axis
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
     rep = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
-
-
-def make_dp_train_step(cfg, mesh, tx, axis: str = "dp"):
-    """Jitted data-parallel training step over the mesh.
-
-    Parameters replicated, batch sharded; GSPMD handles the collectives.
-    """
-    from ..train.learner import make_train_step
-
-    step = make_train_step(cfg, tx)
-
-    def wrapped(bundle, opt_state, batch, train_ube):
-        return step(bundle, opt_state, batch, train_ube)
-
-    return jax.jit(wrapped, static_argnames=("train_ube",)), mesh

@@ -116,9 +116,10 @@ class LatestPoller:
     re-transfer host numpy weights.
     """
 
-    def __init__(self, directory):
+    def __init__(self, directory, sharding=None):
         self._path = latest_path(directory)
         self._sig = None
+        self._sharding = sharding  # e.g. replicated over a dp mesh
 
     def reload_if_changed(self, bundle, log=None):
         """Returns (bundle, reloaded: bool); keeps old weights on failure."""
@@ -131,7 +132,7 @@ class LatestPoller:
             return bundle, False
         try:
             loaded = load_checkpoint(self._path, bundle)
-            bundle = jax.device_put(loaded)
+            bundle = jax.device_put(loaded, self._sharding)
         except Exception as e:  # torn read: keep the old weights
             if log is not None:
                 log.warning("cannot load model (%s), keeping current", e)
