@@ -29,6 +29,7 @@ from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
 from ..search.core import make_kernels
 from ..search.policy import select_best_slot, slot_action
+from ..search.serve import make_serve_chunk
 from ..search.tree import descend_device, init_tree
 from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
 from ..utils import ckpt
@@ -64,15 +65,21 @@ class TeiEngine:
         evaluator = make_net_evaluate(self.cfg, self.eng)
 
         def run_chunk(tree, bundle):
-            # One plain simulation expands the root, then the virtual-visit
-            # batched kernel collects SIM_CHUNK leaves per network call
-            # (the reference tei's `virtual` feature, mcts.rs:268-328) —
-            # keeping the single-game serve path at full MXU batch width.
-            simulate, simulate_batch = make_kernels(
+            # One plain simulation expands the root, then the wavefront
+            # serve kernel collects SIM_CHUNK-1 leaves per network call
+            # (the reference tei's `virtual` feature, mcts.rs:268-328) with
+            # O(K + depth) sequential rounds instead of O(K*depth) — the
+            # single-game serve path stays on the MXU at full batch width
+            # without being latency-bound on B=1 descents (search/serve.py).
+            simulate, _ = make_kernels(
                 self.eng, lambda e: evaluator(bundle, e), max_depth=64
             )
+            serve = make_serve_chunk(
+                self.eng, lambda e: evaluator(bundle, e), SIM_CHUNK - 1,
+                max_depth=64,
+            )
             tree = simulate(tree, jnp.zeros(1))
-            return simulate_batch(tree, jnp.zeros(1), SIM_CHUNK - 1)
+            return serve(tree, jnp.zeros(1))
 
         self._run = jax.jit(run_chunk)
 

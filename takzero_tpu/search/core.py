@@ -32,6 +32,7 @@ variance [B])`` so network agents, Dummy and Simple plug in uniformly.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import jax
@@ -44,6 +45,30 @@ from .tree import Tree
 NEG = jnp.float32(-3.0e38)
 
 
+def make_topk(impl: str = "auto") -> Callable:
+    """Expansion top-k selector: ``(masked_logits [B,A], k) -> (vals, idx)``.
+
+    The search kernels are child-slot-permutation-invariant, so any exact
+    k-largest selection works (see ops/topk.py).  ``auto`` honors the
+    ``TAKZERO_TOPK`` env var (``lax`` | ``pallas``), defaulting to
+    ``lax.top_k`` (the Pallas radix-select is exact and TPU-validated but
+    has not yet measured faster in-loop).
+    """
+    if impl == "auto":
+        impl = os.environ.get("TAKZERO_TOPK", "lax")
+    if impl == "pallas":
+        from ..ops.topk import exact_top_k_unsorted
+
+        interpret = jax.default_backend() != "tpu"
+        return lambda x, k: exact_top_k_unsorted(x, k, interpret=interpret)
+    if impl == "exact_ref":
+        from ..ops.topk import exact_top_k_unsorted_reference
+
+        return exact_top_k_unsorted_reference
+    assert impl == "lax", impl
+    return jax.lax.top_k
+
+
 def _rows(arr, bar, cur):
     return arr[bar, cur]
 
@@ -52,12 +77,14 @@ def make_kernels(
     eng: TakEngine,
     evaluator: Callable,
     max_depth: int = 48,
+    topk: str = "auto",
 ):
     """Build the phase kernels; returns (simulate, simulate_batch)."""
 
     step_batch = jax.vmap(eng.step)
     terminal_batch = jax.vmap(eng.terminal_kind)
     legal_batch = jax.vmap(eng.legal_mask)
+    topk_fn = make_topk(topk)
 
     # ------------------------------------------------------------------
     # Forward phase: descent, visit increments, terminal discovery.
@@ -296,7 +323,7 @@ def make_kernels(
 
         legal = legal_batch(env_eval)  # [B, A]
         masked_logits = jnp.where(legal, logits, NEG)
-        top_vals, top_idx = jax.lax.top_k(masked_logits, c)
+        top_vals, top_idx = topk_fn(masked_logits, c)
         valid_child = top_vals > NEG / 2
         mx = jnp.max(
             jnp.where(valid_child, top_vals, -jnp.inf), axis=-1, keepdims=True

@@ -97,3 +97,50 @@ def test_exact_topk_kernel_interpret():
             np.testing.assert_allclose(np.asarray(v)[b], x[b][want])
             np.testing.assert_array_equal(np.asarray(ir)[b], want)
             np.testing.assert_allclose(np.asarray(vr)[b], x[b][want])
+
+
+def test_search_with_pallas_topk_matches_exact_reference():
+    """A full search step with the Pallas radix-select expansion top-k is
+    bit-identical to one using the pure-JAX exact selection (identical
+    tie-break semantics), validating the in-search wiring end to end."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from takzero_tpu.search.agents import dummy_evaluator
+    from takzero_tpu.search.core import make_kernels
+    from takzero_tpu.search.tree import init_tree
+    from takzero_tpu.tak import engine, ptn_to_action
+
+    eng = engine(3)
+
+    def run(topk):
+        simulate, simulate_batch = make_kernels(
+            eng, dummy_evaluator(eng), max_depth=16, topk=topk
+        )
+
+        @jax.jit
+        def go(tree):
+            tree = simulate(tree, jnp.zeros(2))
+            return simulate_batch(tree, jnp.zeros(2), 7)
+
+        s = eng.initial()
+        s = eng.step_jit(s, ptn_to_action(3, "a3"))
+        s = eng.step_jit(s, ptn_to_action(3, "c1"))
+        envs = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape), s)
+        return go(init_tree(eng, envs, max_nodes=16, max_children=32))
+
+    got = run("pallas")  # interpret mode on CPU
+    ref = run("exact_ref")
+    np.testing.assert_array_equal(
+        np.asarray(got.child_action), np.asarray(ref.child_action)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.child_visit), np.asarray(ref.child_visit)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.node_count), np.asarray(ref.node_count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.child_value), np.asarray(ref.child_value), atol=1e-6
+    )
