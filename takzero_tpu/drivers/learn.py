@@ -117,6 +117,22 @@ def main(argv=None) -> None:
         make_train_step_chunk(net_cfg, tx), static_argnames=("train_ube",)
     )
 
+    # Hash-novelty nets publish weights-only latest checkpoints plus an
+    # append-only uint32 index log; actors reconstruct/extend their
+    # device-resident bitset from the log (utils/ckpt.py HASH_LOG) instead
+    # of re-downloading 512 MiB per reload.  The indices are recomputed
+    # here from the batch planes — the projection constants never train,
+    # so they match the in-graph hash_update bit-exactly.
+    hash_logged = net_cfg.novelty in ("simhash", "lcghash")
+    if hash_logged:
+        from ..models.agent import hash_indices
+
+        idx_fn = jax.jit(
+            lambda b, p: hash_indices(net_cfg, b, p.reshape((-1,) + p.shape[-3:]))
+        )
+    else:
+        idx_fn = None
+
     bundle = new_agent(net_cfg, seed=args.seed)
     opt_state = init_opt(net_cfg, tx, bundle)
     resume = ckpt.model_path_with_most_steps(args.directory)
@@ -130,6 +146,8 @@ def main(argv=None) -> None:
     bundle = place_replicated(bundle)
     opt_state = place_replicated(opt_state)
 
+    boot_idx: list = []
+
     if args.restart_targets:
         lines = valid_target_lines(
             net_cfg.n, open(args.restart_targets).read().splitlines()
@@ -139,6 +157,8 @@ def main(argv=None) -> None:
             batch = place_batch(make_batch_native(
                 eng, "\n".join(lines[i : i + cfg.batch_size]) + "\n", rng
             ))
+            if idx_fn is not None:
+                boot_idx.append(idx_fn(bundle, batch.planes))
             bundle, opt_state, _ = train_step(bundle, opt_state, batch, train_ube=False)
             steps += 1
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
@@ -154,13 +174,31 @@ def main(argv=None) -> None:
             if len(chunk) < cfg.batch_size:
                 break
             batch = place_batch(make_batch(eng, chunk, rng))
+            if idx_fn is not None:
+                boot_idx.append(idx_fn(bundle, batch.planes))
             bundle, opt_state, m = train_step(bundle, opt_state, batch, train_ube=False)
             if i % 100 == 0:
                 log.info("pretrain %d: %s", i, jax.tree.map(float, m))
             steps += 1
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
 
-    ckpt.save_checkpoint(args.directory, "model_latest.ckpt", bundle)
+    if boot_idx:
+        ckpt.append_hash_indices(
+            args.directory, np.concatenate([np.asarray(i) for i in boot_idx])
+        )
+    if hash_logged and resume is not None:
+        # A crash can leave the log behind the resumed checkpoint's bitset
+        # (log appends are deferred one chunk); re-append the difference so
+        # actors reconstruct the full set.
+        missing = ckpt.reconcile_hash_log(
+            args.directory, np.asarray(bundle["hash_bits"])
+        )
+        if missing:
+            log.info("hash log reconciled: %d bits re-appended", missing)
+
+    ckpt.save_checkpoint(
+        args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+    )
 
     # RND variants: fixed early/late reference batches drive the min/max
     # normalization refresh (learn/src/rnd_normalization.rs:48-77).
@@ -193,7 +231,9 @@ def main(argv=None) -> None:
 
     def flush_metrics(item):
         """Fetch one chunk's stacked metrics and log/record per step."""
-        first_step, c, metrics = item
+        first_step, c, metrics, chunk_idx = item
+        if chunk_idx is not None:
+            ckpt.append_hash_indices(args.directory, np.asarray(chunk_idx))
         m_host = jax.tree.map(np.asarray, metrics)
         jsonl = []
         for i in range(c):
@@ -278,7 +318,11 @@ def main(argv=None) -> None:
                     break
                 for item in pending_metrics:
                     flush_metrics(item)
-                saver.submit(args.directory, "model_latest.ckpt", bundle)
+                saver.submit(
+                    args.directory,
+                    "model_latest.ckpt",
+                    ckpt.strip_hash_bits(bundle),
+                )
                 saver.drain()
                 return
             log.info(
@@ -297,9 +341,13 @@ def main(argv=None) -> None:
             chunk_batches.append(
                 make_batch_native(eng, "\n".join(targets) + "\n", rng)
             )
+        chunk_idx = None
         if c == 1:
+            batch = place_batch(chunk_batches[0])
+            if idx_fn is not None:
+                chunk_idx = idx_fn(bundle, batch.planes)
             bundle, opt_state, metrics = train_step(
-                bundle, opt_state, place_batch(chunk_batches[0]), train_ube=True
+                bundle, opt_state, batch, train_ube=True
             )
             metrics = jax.tree.map(lambda x: jax.numpy.asarray(x)[None], metrics)
         else:
@@ -307,6 +355,8 @@ def main(argv=None) -> None:
                 jax.tree.map(lambda *xs: jax.numpy.stack(xs), *chunk_batches),
                 batch_dim=1,
             )
+            if idx_fn is not None:
+                chunk_idx = idx_fn(bundle, batches.planes)
             bundle, opt_state, metrics = train_chunk(
                 bundle, opt_state, batches, train_ube=True
             )
@@ -315,7 +365,7 @@ def main(argv=None) -> None:
         # compute (dispatch is asynchronous).
         first_step = model_steps + 1
         model_steps += c
-        pending_metrics.append((first_step, c, metrics))
+        pending_metrics.append((first_step, c, metrics, chunk_idx))
         if len(pending_metrics) > 1:
             flush_metrics(pending_metrics.pop(0))
         if rnd_refs is not None and model_steps % 100 == 0:
@@ -324,19 +374,22 @@ def main(argv=None) -> None:
                 "RND normalization: min=%.4f max=%.4f",
                 float(bundle["rnd_min"]), float(bundle["rnd_max"]),
             )
-        # Off-thread: fetching + writing the ~600 MB bundle every
-        # steps_per_save would otherwise stall the dispatch loop.
-        saver.submit_latest_and_step(
-            args.directory,
-            model_steps,
-            bundle,
-            cfg.steps_per_save,
-            cfg.steps_per_checkpoint,
-        )
+        # Off-thread: fetching + writing the bundle every steps_per_save
+        # would otherwise stall the dispatch loop.  Latest is weights-only
+        # (actors track the bitset via the hash log); immutable step
+        # checkpoints embed the full bitset for self-contained resume.
+        if model_steps % cfg.steps_per_save == 0:
+            saver.submit(
+                args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+            )
+        if model_steps % cfg.steps_per_checkpoint == 0:
+            saver.submit(args.directory, f"model_{model_steps:07d}.ckpt", bundle)
     for item in pending_metrics:
         flush_metrics(item)
     # Always leave a final latest for downstream consumers (tests rely on it).
-    saver.submit(args.directory, "model_latest.ckpt", bundle)
+    saver.submit(
+        args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+    )
     saver.drain()
 
 

@@ -136,21 +136,23 @@ def _lcg_closed_form(k: int):
     return weights, const
 
 
-def hash_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
+def hash_indices(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
+    """uint32[B] bitset indices for a plane batch (projection constants
+    live in the bundle and never train, so these are reproducible from
+    any bundle of the same seed — the hash-log protocol relies on it)."""
     if cfg.novelty == "simhash":
-        idx = simhash_indices(cfg, bundle["hash_matrix"], planes)
-    else:
-        idx = lcghash_indices(cfg, bundle["hash_scale"], planes)
-    seen = bs.bitset_query(bundle["hash_bits"], idx)
+        return simhash_indices(cfg, bundle["hash_matrix"], planes)
+    return lcghash_indices(cfg, bundle["hash_scale"], planes)
+
+
+def hash_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
+    seen = bs.bitset_query(bundle["hash_bits"], hash_indices(cfg, bundle, planes))
     return jnp.where(seen, 0.0, MAXIMUM_VARIANCE)
 
 
 def hash_update(cfg: NetConfig, bundle, planes):
     """Mark positions as seen; returns the updated bundle."""
-    if cfg.novelty == "simhash":
-        idx = simhash_indices(cfg, bundle["hash_matrix"], planes)
-    else:
-        idx = lcghash_indices(cfg, bundle["hash_scale"], planes)
+    idx = hash_indices(cfg, bundle, planes)
     return {**bundle, "hash_bits": bs.bitset_set(bundle["hash_bits"], idx)}
 
 

@@ -24,6 +24,74 @@ from flax import serialization
 
 _STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
 
+# Append-only log of novelty-hash bit indices (uint32 LE), written by the
+# learner alongside a weights-only ``model_latest.ckpt``.  Replaying the
+# log through ``bitset_set`` reconstructs the hash bitset exactly, so
+# actors keep their ~512 MiB bitset device-resident and apply tiny deltas
+# instead of re-shipping it on every model reload (the reference ships its
+# ``bitvec.bin`` sidecar wholesale, selfplay/src/main.rs:107-120; immutable
+# step checkpoints here still embed the full bitset, keeping resume and
+# offline evaluation self-contained).
+HASH_LOG = "hash_log.bin"
+
+
+def strip_hash_bits(bundle):
+    """Weights-only view of a bundle (drop the novelty bitset, if any)."""
+    if isinstance(bundle, dict) and "hash_bits" in bundle:
+        return {k: v for k, v in bundle.items() if k != "hash_bits"}
+    return bundle
+
+
+def append_hash_indices(directory, idx) -> None:
+    """Append uint32 bit indices to the hash log (single atomic write)."""
+    arr = np.ascontiguousarray(np.asarray(idx).ravel(), dtype="<u4")
+    if arr.size == 0:
+        return
+    with open(pathlib.Path(directory) / HASH_LOG, "ab") as f:
+        f.write(arr.tobytes())
+
+
+def reconcile_hash_log(directory, bits_host: np.ndarray) -> int:
+    """Append bits set in `bits_host` (uint32 words) but absent from the
+    log; returns how many were appended.  Run once at learner resume —
+    a crash window can leave the deferred log behind the checkpointed
+    bitset, and actors would otherwise miss those bits forever."""
+    path = pathlib.Path(directory) / HASH_LOG
+    idx, _ = read_hash_indices(path, 0)
+    have = np.zeros(bits_host.size, np.uint32)
+    if idx.size:
+        np.bitwise_or.at(
+            have, (idx >> 5).astype(np.int64), np.uint32(1) << (idx & 31)
+        )
+    missing = np.asarray(bits_host, np.uint32) & ~have
+    words = np.flatnonzero(missing)
+    if words.size == 0:
+        return 0
+    out = []
+    mw = missing[words]
+    for b in range(32):
+        hit = (mw >> np.uint32(b)) & np.uint32(1) != 0
+        if hit.any():
+            out.append((words[hit].astype(np.uint32) << 5) | np.uint32(b))
+    all_missing = np.concatenate(out)
+    append_hash_indices(directory, all_missing)
+    return int(all_missing.size)
+
+
+def read_hash_indices(path, offset: int):
+    """(uint32 indices appended since `offset`, new offset)."""
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return np.zeros((0,), np.uint32), offset
+    size -= size % 4  # ignore a torn trailing write
+    if size <= offset:
+        return np.zeros((0,), np.uint32), offset
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read(size - offset)
+    return np.frombuffer(data, dtype="<u4"), size
+
 
 def save_checkpoint(directory, name: str, bundle) -> pathlib.Path:
     directory = pathlib.Path(directory)
@@ -114,29 +182,63 @@ class LatestPoller:
     move, which dwarfed the search itself over a remote-accelerator link.
     The loaded bundle is device_put once so subsequent jitted calls do not
     re-transfer host numpy weights.
+
+    The novelty bitset never travels with ``model_latest``: the learner
+    publishes weights-only latest checkpoints plus the ``hash_log.bin``
+    delta stream, and the poller keeps the bitset device-resident,
+    OR-ing in only the newly logged bit indices (idempotent, so replays
+    and ahead-of-weights bits are harmless).
     """
+
+    HASH_CHUNK = 1 << 16  # fixed shape: one jit trace regardless of delta size
 
     def __init__(self, directory, sharding=None):
         self._path = latest_path(directory)
+        self._hash_path = pathlib.Path(directory) / HASH_LOG
+        self._hash_off = 0
         self._sig = None
         self._sharding = sharding  # e.g. replicated over a dp mesh
+        self._apply = None
+
+    def _apply_hash_delta(self, bundle):
+        if not (isinstance(bundle, dict) and "hash_bits" in bundle):
+            return bundle, False
+        idx, self._hash_off = read_hash_indices(self._hash_path, self._hash_off)
+        if idx.size == 0:
+            return bundle, False
+        if self._apply is None:
+            from ..ops.bitset import bitset_set
+
+            self._apply = jax.jit(bitset_set, donate_argnums=0)
+        bits = bundle["hash_bits"]
+        for i in range(0, idx.size, self.HASH_CHUNK):
+            chunk = idx[i : i + self.HASH_CHUNK]
+            if chunk.size < self.HASH_CHUNK:  # pad with repeats (idempotent)
+                chunk = np.concatenate(
+                    [chunk, np.full(self.HASH_CHUNK - chunk.size, chunk[-1], "<u4")]
+                )
+            bits = self._apply(bits, jax.device_put(chunk, self._sharding))
+        return {**bundle, "hash_bits": bits}, True
 
     def reload_if_changed(self, bundle, log=None):
         """Returns (bundle, reloaded: bool); keeps old weights on failure."""
+        bundle, hash_changed = self._apply_hash_delta(bundle)
         try:
             st = os.stat(self._path)
         except OSError:
-            return bundle, False
+            return bundle, hash_changed
         sig = (st.st_mtime_ns, st.st_size)
         if sig == self._sig:
-            return bundle, False
+            return bundle, hash_changed
         try:
-            loaded = load_checkpoint(self._path, bundle)
+            # Partial load: a weights-only latest keeps the current
+            # (device-resident) bitset leaf from the template.
+            loaded = load_checkpoint_partial(self._path, bundle)
             bundle = jax.device_put(loaded, self._sharding)
         except Exception as e:  # torn read: keep the old weights
             if log is not None:
                 log.warning("cannot load model (%s), keeping current", e)
-            return bundle, False
+            return bundle, hash_changed
         self._sig = sig
         return bundle, True
 
