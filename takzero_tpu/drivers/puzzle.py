@@ -30,7 +30,7 @@ from ..models.agent import make_net_evaluate, new_agent
 from ..search import eval as ev
 from ..search.gumbel import make_gumbel_search
 from ..search.policy import select_best_slot, slot_action
-from ..search.tree import init_tree
+from ..search.tree import init_tree, truncation_stats
 from ..tak import action_to_ptn, engine, ptn_to_action, tps_to_state
 from ..train.data import stack_states
 from ..utils import ckpt
@@ -66,6 +66,11 @@ class PuzzleResult:
     attempted: int = 0
     solved: int = 0
     proven: int = 0
+    # Child-truncation exposure: incomplete nodes suppress loss/draw
+    # proofs (search/tree.py), which is exactly what the avoidance
+    # "proven" metric leans on — report how often C actually bound.
+    nodes: int = 0
+    nodes_incomplete: int = 0
 
     def solve_rate(self) -> float:
         return self.solved / self.attempted if self.attempted else 0.0
@@ -107,6 +112,9 @@ def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key):
         flags = np.asarray(tree.root_flag)
         ch_flags = np.asarray(tree.child_flag[:, 0, :])
         ch_valid = np.asarray(tree.child_action[:, 0, :] >= 0)
+        trunc = np.asarray(truncation_stats(tree))[: len(chunk)]
+        result.nodes += int(trunc[:, 0].sum())
+        result.nodes_incomplete += int(trunc[:, 1].sum())
 
         for g, (tps, solution) in enumerate(chunk):
             result.attempted += 1
@@ -129,9 +137,12 @@ def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key):
                 best[g] == sol_action,
             )
     log.info(
-        "%s attempted=%d solved=%d proven=%d solve_rate=%.3f prove_rate=%.3f",
+        "%s attempted=%d solved=%d proven=%d solve_rate=%.3f prove_rate=%.3f"
+        " truncated_nodes=%d/%d (%.4f%%)",
         result.category, result.attempted, result.solved, result.proven,
         result.solve_rate(), result.prove_rate(),
+        result.nodes_incomplete, result.nodes,
+        100.0 * result.nodes_incomplete / max(result.nodes, 1),
     )
     return result
 

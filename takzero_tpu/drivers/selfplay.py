@@ -139,6 +139,14 @@ def main(argv=None) -> None:
             "step %d: move for %d games in %.2fs; %d targets, %d replays",
             steps, sp_cfg.batch, time.time() - start, len(targets), len(replays),
         )
+        if steps % 100 == 0 or steps == args.max_steps:
+            exp, inc = sp.truncation_totals
+            log.info(
+                "truncation: %d/%d nodes incomplete (%.4f%%) — loss/draw "
+                "proofs are exact at the other %.4f%%",
+                inc, exp, 100.0 * inc / max(exp, 1),
+                100.0 - 100.0 * inc / max(exp, 1),
+            )
         # On append failure the content is dumped into the log instead of
         # lost (reference selfplay/src/main.rs:332-344).
         for name, items in (

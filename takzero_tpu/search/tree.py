@@ -115,6 +115,23 @@ def init_tree(
     )
 
 
+def truncation_stats(tree: Tree) -> jnp.ndarray:
+    """[B, 2] int32: (expanded nodes, incomplete nodes) per lane.
+
+    `node_incomplete` is set at expansion when a position has more legal
+    moves than the tree's C child slots (see the module docstring) — the
+    solver then never proves losses/draws through that node, which is
+    exactly where the reference (which stores ALL children,
+    node/mod.rs:14-23) is stronger.  This reads only allocated pool rows
+    (the write-sink scratch row carries garbage flags by design).
+    """
+    b, m = tree.node_parent.shape
+    alloc = jnp.arange(m)[None, :] < tree.node_count[:, None]
+    expanded = jnp.sum(alloc, axis=1, dtype=jnp.int32)
+    incomplete = jnp.sum(alloc & tree.node_incomplete, axis=1, dtype=jnp.int32)
+    return jnp.stack([expanded, incomplete], axis=1)
+
+
 def reset_lanes(tree: Tree, mask: jnp.ndarray, new_envs: TakState) -> Tree:
     """Reset trees where `mask` is set, installing `new_envs` as roots."""
     fresh = init_tree(None, new_envs, tree.max_nodes, tree.max_children)

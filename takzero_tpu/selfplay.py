@@ -32,7 +32,12 @@ from .search.policy import (
     slot_action,
     ube_target,
 )
-from .search.tree import descend_batch, init_tree, reset_lanes
+from .search.tree import (
+    descend_batch,
+    init_tree,
+    reset_lanes,
+    truncation_stats,
+)
 from .tak import state_to_tps
 from .tak.engine import TakEngine
 
@@ -170,6 +175,10 @@ class SelfplayEngine:
                     as_i32(nxt.owner_hi), as_i32(nxt.tops),
                     as_i32(nxt.reserves), as_i32(nxt.to_move),
                     as_i32(nxt.ply), as_i32(nxt.reversible),
+                    # Child-truncation diagnostics on the post-search tree
+                    # (VERDICT: the solver loses loss/draw exactness at
+                    # incomplete nodes; measure how often C actually binds).
+                    as_i32(truncation_stats(tree)),
                 ],
                 axis=1,
             )
@@ -181,6 +190,9 @@ class SelfplayEngine:
         self.logs: list[GameLog] = []
         self.last_root = None
         self._envs_host = None
+        # [expanded nodes, incomplete (child-truncated) nodes] accumulated
+        # over every post-search tree this engine has produced.
+        self.truncation_totals = [0, 0]
 
     def reset(self, key):
         self.envs = self._opening(key, self.cfg.batch)
@@ -213,13 +225,15 @@ class SelfplayEngine:
         pk = np.asarray(packed)
         s = self.eng.n * self.eng.n
         c = self.cfg.max_children
-        cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1])
-        assert pk.shape[1] == cuts[-1] + 1, (pk.shape, cuts[-1] + 1)
+        cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1, 1])
+        assert pk.shape[1] == cuts[-1] + 2, (pk.shape, cuts[-1] + 2)
         (
             action, tk, res, road, ube_b, pol_b, child_actions,
             height, owner_lo, owner_hi, tops, reserves, to_move, ply,
-            reversible,
+            reversible, trunc,
         ) = np.split(pk, cuts, axis=1)
+        self.truncation_totals[0] += int(trunc[:, 0].sum())  # expanded nodes
+        self.truncation_totals[1] += int(trunc[:, 1].sum())  # incomplete
         action = action[:, 0]
         tk = tk[:, 0]
         res = res[:, 0]

@@ -90,3 +90,27 @@ def test_value_propagation_sign():
     tree = solve(eng, run, root, 400, 64, 4)
     assert int(tree.root_flag[0]) == ev.WIN
     assert int(tree.root_ply[0]) == 1  # win in one ply
+
+
+def test_truncation_stats():
+    """truncation_stats counts allocated incomplete nodes only — the root
+    with 9 legal placements is incomplete at C=4 and complete at C=16
+    (search/tree.py truncation semantics; VERDICT child-truncation gap)."""
+    from takzero_tpu.search.tree import truncation_stats
+
+    eng, run = runner(3, "dummy", 0.0, 40, 4, 8)
+    root = build_root_env(eng, [], batch=2)
+    tree = run(init_tree(eng, root, 40, 4))
+    st = np.asarray(truncation_stats(tree))
+    assert st.shape == (2, 2)
+    nodes = np.asarray(tree.node_count)
+    np.testing.assert_array_equal(st[:, 0], nodes)
+    # Root (9 placements > 4 slots) is incomplete in every lane.
+    assert (st[:, 1] >= 1).all()
+    assert (st[:, 1] <= st[:, 0]).all()
+
+    eng, run = runner(3, "dummy", 0.0, 40, 16, 8)
+    tree = run(init_tree(eng, root, 40, 16))
+    st = np.asarray(truncation_stats(tree))
+    # 3x3 branching never exceeds 16 in the first few plies.
+    assert (st[:, 1] == 0).all()
