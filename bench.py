@@ -5,8 +5,13 @@ configuration (6x6, 128 parallel games, Gumbel-SH k=64, budget=768,
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference publishes no throughput numbers (BASELINE.md), so
-vs_baseline is reported as 1.0 by convention.
+The reference publishes no throughput numbers, so vs_baseline is anchored
+by measurement instead: tools/anchor.py runs the reference's architecture
+with the engines this host can actually execute (C++ pointer-tree MCTS +
+torch-CPU 16x256 ResNet; the Rust toolchain/CUDA the reference needs do
+not exist here) and records reference_on_this_host_sims_per_s_total in
+BASELINE.json — vs_baseline is measured sims/s over that. Falls back to
+1.0 if the anchor has not been recorded.
 
 Env overrides: TAKZERO_BENCH_BATCH, TAKZERO_BENCH_BUDGET,
 TAKZERO_BENCH_MOVES, TAKZERO_BENCH_FILTERS, TAKZERO_BENCH_BLOCKS.
@@ -77,13 +82,25 @@ def main() -> None:
 
     sims_per_move = (budget + 1) * batch  # +1 root-init simulation
     sims_per_s = sims_per_move * moves / dt
+
+    vs_baseline = 1.0
+    try:
+        baseline = json.load(
+            open(os.path.join(os.path.dirname(__file__), "BASELINE.json"))
+        )
+        anchor = baseline["published"][
+            "reference_on_this_host_sims_per_s_total"
+        ]
+        vs_baseline = round(sims_per_s / anchor, 2)
+    except (OSError, KeyError, ValueError):
+        pass
     print(
         json.dumps(
             {
                 "metric": "mcts_sims_per_s_selfplay_6x6",
                 "value": round(sims_per_s, 1),
                 "unit": "simulations/s (batch=128, k=64, budget=768, 16x256 net)",
-                "vs_baseline": 1.0,
+                "vs_baseline": vs_baseline,
             }
         )
     )
