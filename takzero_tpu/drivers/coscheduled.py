@@ -1,0 +1,220 @@
+"""Co-scheduled actor+learner: weights broadcast over ICI, not files.
+
+The reference decouples its 1 learner + 20 actors over a shared
+filesystem — actors poll ``model_latest.ot`` and re-deserialize weights
+(selfplay/src/main.rs:107-120; SURVEY.md §5.8).  On a TPU slice the
+natural co-scheduled configuration puts the learner and a selfplay actor
+in ONE jitted program set over ONE device mesh: the train step's updated
+parameters stay device-resident with replicated sharding (GSPMD carries
+them over ICI), and the very next search step reads them directly — the
+"weights broadcast over ICI after each update epoch" path of SURVEY.md
+§5.8, with zero serialization, zero staleness, and no polling.
+
+Interop with the decoupled fleet is preserved: targets/replays are still
+appended to the shared files, buffer lengths published, and
+``model_latest.ckpt`` (weights-only) + ``hash_log.bin`` still written on
+the usual cadence, so external reanalyze/evaluation/puzzle jobs can join
+a co-scheduled run unchanged.  (The in-process novelty bitset needs no
+log replay at all — search and training literally share the device
+array.)
+
+Usage:
+    python -m takzero_tpu.drivers.coscheduled --directory DIR
+        [--net net6_simhash] [--devices N] [--steps-per-move K]
+        [--max-moves N] [--batch B] [--budget N] [--sampled K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..config import NET_PRESETS, LearnConfig, selfplay_preset
+from ..data.buffer import TargetBuffer
+from ..data.native_loader import make_batch_native
+from ..models.agent import make_net_evaluate, new_agent
+from ..parallel import coordinator as co
+from ..selfplay import SelfplayEngine
+from ..tak import engine
+from ..train.learner import init_opt, make_optimizer, make_train_step
+from ..utils import ckpt
+
+log = logging.getLogger("coscheduled")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--directory", required=True)
+    parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--devices", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--budget", type=int, default=None)
+    parser.add_argument("--sampled", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="learner batch size")
+    parser.add_argument(
+        "--steps-per-move", type=int, default=1,
+        help="optimizer steps attempted after each selfplay move "
+        "(skipped while the in-memory target buffer is short)",
+    )
+    parser.add_argument("--max-moves", type=int, default=None, help="for tests")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    net_cfg = NET_PRESETS[args.net]
+    eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
+    cfg = LearnConfig(
+        batch_size=args.batch_size or LearnConfig.batch_size,
+    )
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    mesh = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        mesh = pm.make_mesh(args.devices)
+        log.info("co-scheduled over %d devices: %s", args.devices, mesh)
+
+    overrides = {}
+    if args.batch:
+        overrides["batch"] = args.batch
+    if args.budget:
+        overrides["search_budget"] = args.budget
+    if args.sampled:
+        overrides["sampled_actions"] = args.sampled
+    sp_cfg = selfplay_preset(args.net, **overrides)
+    if args.devices and sp_cfg.batch % args.devices:
+        parser.error(
+            f"--batch {sp_cfg.batch} not divisible by --devices {args.devices}"
+        )
+    if args.devices and cfg.batch_size % args.devices:
+        parser.error(
+            f"--batch-size {cfg.batch_size} not divisible by "
+            f"--devices {args.devices}"
+        )
+
+    evaluator = make_net_evaluate(net_cfg, eng)
+    sp = SelfplayEngine(eng, sp_cfg, evaluator)
+    key, k0 = jax.random.split(key)
+    sp.reset(k0)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+
+        sp.envs = pm.shard_batch(mesh, sp.envs)
+        sp.tree = pm.shard_batch(mesh, sp.tree)
+
+    tx = make_optimizer(cfg.learning_rate)
+    train_step = jax.jit(
+        make_train_step(net_cfg, tx), static_argnames=("train_ube",)
+    )
+    hash_logged = net_cfg.novelty in ("simhash", "lcghash")
+    idx_fn = None
+    if hash_logged:
+        from ..models.agent import hash_indices
+
+        idx_fn = jax.jit(lambda b, p: hash_indices(net_cfg, b, p))
+
+    bundle = new_agent(net_cfg, seed=args.seed)
+    opt_state = init_opt(net_cfg, tx, bundle)
+    resume = ckpt.model_path_with_most_steps(args.directory)
+    if resume is not None:
+        steps, path = resume
+        log.info("resuming from %s at step %d", path, steps)
+        bundle = ckpt.load_checkpoint(path, bundle)
+    else:
+        steps = 0
+        ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+
+        # Replicated over the mesh: every train-step update lands in this
+        # sharding and the next play_move consumes it in place — this IS
+        # the ICI weights broadcast (no host copy, no file, no poll).
+        bundle = pm.replicate(mesh, bundle)
+        opt_state = pm.replicate(mesh, opt_state)
+
+    def place_batch(batch):
+        if mesh is None:
+            return batch
+        from ..parallel import mesh as pm
+
+        return pm.shard_batch(mesh, batch)
+
+    buffer = TargetBuffer(rng)
+    saver = ckpt.AsyncSaver()
+    moves = 0
+    trained_lines: list = []
+    while args.max_moves is None or moves < args.max_moves:
+        moves += 1
+        t0 = time.time()
+        key, k_move = jax.random.split(key)
+        targets, replays, exploration_replays = sp.play_move(bundle, k_move)
+        lines = [t.to_line() for t in targets]
+        buffer.extend(lines, cfg.selfplay_forced_uses, steps)
+        for name, items in (
+            (co.TARGETS_SELFPLAY, lines),
+            (co.REPLAYS, [r.to_line() for r in replays]),
+            (
+                co.REPLAYS_EXPLORATION,
+                [r.to_line() for r in exploration_replays],
+            ),
+        ):
+            if items:
+                co.append_lines(args.directory, name, items)
+
+        t_move = time.time() - t0
+        trained = 0
+        for _ in range(args.steps_per_move):
+            if len(buffer) < cfg.batch_size:
+                break
+            batch = place_batch(make_batch_native(
+                eng, "\n".join(buffer.drain_batch(cfg.batch_size)) + "\n", rng
+            ))
+            if idx_fn is not None:
+                trained_lines.append(idx_fn(bundle, batch.planes))
+            bundle, opt_state, metrics = train_step(
+                bundle, opt_state, batch, train_ube=True
+            )
+            steps += 1
+            trained += 1
+            if steps % cfg.steps_per_save == 0:
+                if trained_lines:
+                    ckpt.append_hash_indices(
+                        args.directory,
+                        np.concatenate([np.asarray(i) for i in trained_lines]),
+                    )
+                    trained_lines.clear()
+                saver.submit(
+                    args.directory, "model_latest.ckpt",
+                    ckpt.strip_hash_bits(bundle),
+                )
+            if steps % cfg.steps_per_checkpoint == 0:
+                saver.submit(args.directory, f"model_{steps:07d}.ckpt", bundle)
+        co.write_buffer_lengths(args.directory, len(buffer), 0)
+        log.info(
+            "move %d: %.2fs search (+%d train steps, %.2fs total); "
+            "buffer=%d, %d targets, %d replays, model step %d",
+            moves, t_move, trained, time.time() - t0,
+            len(buffer), len(targets), len(replays), steps,
+        )
+
+    if trained_lines:
+        ckpt.append_hash_indices(
+            args.directory,
+            np.concatenate([np.asarray(i) for i in trained_lines]),
+        )
+    saver.submit(
+        args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+    )
+    saver.submit(args.directory, f"model_{steps:07d}.ckpt", bundle)
+    saver.drain()
+
+
+if __name__ == "__main__":
+    main()
