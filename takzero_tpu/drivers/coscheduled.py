@@ -63,6 +63,11 @@ def main(argv=None) -> None:
         "(skipped while the in-memory target buffer is short)",
     )
     parser.add_argument("--max-moves", type=int, default=None, help="for tests")
+    parser.add_argument(
+        "--steps-per-checkpoint", type=int, default=None,
+        help="immutable checkpoint cadence (default 50000); lower it to "
+        "give tools/elo_curve.py more points",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -70,6 +75,8 @@ def main(argv=None) -> None:
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
     cfg = LearnConfig(
         batch_size=args.batch_size or LearnConfig.batch_size,
+        steps_per_checkpoint=args.steps_per_checkpoint
+        or LearnConfig.steps_per_checkpoint,
     )
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)

@@ -52,6 +52,11 @@ def main(argv=None) -> None:
     parser.add_argument("--pretrain-steps", type=int, default=None)
     parser.add_argument("--no-wait", action="store_true", help="for tests")
     parser.add_argument(
+        "--steps-per-checkpoint", type=int, default=None,
+        help="immutable checkpoint cadence (default 50000, learn/src/"
+        "main.rs:45); lower it to give tools/elo_curve.py more points",
+    )
+    parser.add_argument(
         "--chunk-steps",
         type=int,
         default=None,
@@ -76,6 +81,8 @@ def main(argv=None) -> None:
         initial_random_targets=args.pretrain_targets
         or LearnConfig.initial_random_targets,
         pre_training_steps=args.pretrain_steps or LearnConfig.pre_training_steps,
+        steps_per_checkpoint=args.steps_per_checkpoint
+        or LearnConfig.steps_per_checkpoint,
     )
     net_cfg = NET_PRESETS[args.net]
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
