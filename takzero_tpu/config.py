@@ -39,6 +39,12 @@ NET_PRESETS: dict[str, NetConfig] = {
         n=3, half_komi=0, filters=16, blocks=2, novelty="rnd",
         rnd_filters=8, rnd_blocks=1,
     ),
+    # CPU-scale 4x4 (same board/komi as net4_*, shrunk tower) — used for
+    # host-only end-to-end runs (e.g. the Elo-curve example when no chip
+    # is attached).
+    "tiny4": NetConfig(
+        n=4, half_komi=4, filters=32, blocks=4, novelty="lcghash", hash_bits=24
+    ),
 }
 
 
