@@ -75,7 +75,13 @@ class Tree(NamedTuple):
         return self.child_visit.shape[2]
 
     def root_expanded(self) -> jnp.ndarray:
-        return self.child_action[:, 0, 0] >= 0
+        # Slot-permutation-invariant: the unsorted exact top-k impls
+        # (ops/topk.py) emit selected entries in ascending action order, so
+        # when action 0 is illegal and there are fewer legal moves than
+        # max_children, slot 0 holds a -1 filler even though the root IS
+        # expanded.  Any valid slot marks expansion (a fresh init_tree pool
+        # is all -1; expansion always writes >= 1 legal child).
+        return jnp.max(self.child_action[:, 0, :], axis=1) >= 0
 
 
 def init_tree(
@@ -228,7 +234,7 @@ def descend_host(tree: Tree, action: int):
     )
 
 
-def descend_batch(tree: Tree, slot):
+def descend_batch(tree: Tree, slot, min_headroom: int = 0):
     """Jitted batched re-root: every lane descends to its root child `slot`.
 
     Device-side tree reuse across moves for selfplay and evaluation
@@ -245,8 +251,17 @@ def descend_batch(tree: Tree, slot):
     only on links, row 0, and the scratch row).
 
     Returns ``(tree2, ok[B])``.  Lanes where ``ok`` is False (the chosen
-    child was never expanded) contain empty trees and must be reset by
-    the caller (``reset_lanes``) with the stepped environment.
+    child was never expanded, or the carried subtree would leave less
+    than ``min_headroom`` free pool rows) contain empty trees and must be
+    reset by the caller (``reset_lanes``) with the stepped environment.
+
+    ``min_headroom`` keeps reuse sound with a fixed pool: carried
+    subtrees otherwise accumulate across moves (the reference
+    heap-allocates, node/mod.rs:95-102) until expansion hits the
+    pool-full guard mid-search and quality silently degrades.  Each
+    simulation allocates at most one node, so a lane that descends with
+    ``k + budget <= max_nodes`` can never saturate during the next
+    search; callers pass ``min_headroom=search_budget``.
     """
     b, m, c = tree.child_action.shape
     bar = jnp.arange(b)
@@ -264,6 +279,7 @@ def descend_batch(tree: Tree, slot):
         anc = jnp.take_along_axis(anc, anc, axis=1)
 
     k = jnp.sum(reach, axis=1).astype(jnp.int32)  # [B]
+    ok = ok & (k + min_headroom <= m - 1)
     # New numbering: r first, remaining kept nodes in old-index order.
     sort_key = jnp.where(
         reach, jnp.where(idx[None, :] == r[:, None], -1, idx[None, :]), m + 1

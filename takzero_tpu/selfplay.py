@@ -135,9 +135,12 @@ class SelfplayEngine:
                 stepped,
             )
             if cfg.tree_reuse:
-                # Carry the chosen subtree; finished games and unexpanded
-                # choices restart from fresh/stepped roots.
-                tree2, ok = descend_batch(tree, slot)
+                # Carry the chosen subtree; finished games, unexpanded
+                # choices, and subtrees too large to leave a full budget
+                # of expansion headroom restart from fresh/stepped roots.
+                tree2, ok = descend_batch(
+                    tree, slot, min_headroom=cfg.search_budget
+                )
                 tree_out = reset_lanes(tree2, done | ~ok, nxt)
             else:
                 tree_out = tree  # unused next move (fresh init above)

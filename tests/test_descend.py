@@ -17,10 +17,18 @@ from takzero_tpu.tak import engine, ptn_to_action
 def _searched_tree(eng, sims=64):
     simulate, simulate_batch = make_kernels(eng, simple_evaluator(eng), max_depth=16)
 
+    # simulate_batch is ONE virtual-visit round (k forwards share a single
+    # NN evaluation), so a lone call only adds one ply below the root —
+    # chunk the budget into rounds so the searched tree has real depth.
     @jax.jit
     def run(tree):
         tree = simulate(tree, jnp.zeros(1))
-        return simulate_batch(tree, jnp.zeros(1), sims - 1)
+        left = sims - 1
+        while left > 0:
+            k = min(16, left)
+            tree = simulate_batch(tree, jnp.zeros(1), k)
+            left -= k
+        return tree
 
     s = eng.initial()
     for mv in ("a3", "c1"):
@@ -239,3 +247,33 @@ def test_descend_batch_carries_visits_across_move():
         assert not ok3[lane]
         fresh = reset_lanes(sub3, jnp.asarray(~ok3), envs)
         assert int(fresh.node_count[lane]) == 1
+
+
+def test_descend_batch_min_headroom_rejects_oversized_subtrees():
+    """A lane whose carried subtree would leave fewer than min_headroom
+    free pool rows reports ok=False so the caller resets it — with a
+    fixed pool, carried subtrees otherwise accumulate across moves until
+    mid-search expansion hits the pool-full guard and quality silently
+    degrades (the reference heap-allocates, node/mod.rs:95-102)."""
+    from takzero_tpu.search.tree import descend_batch
+
+    eng = engine(3)
+    tree, _ = _searched_tree(eng)
+    cn = np.asarray(tree.child_node[0, 0])
+    cv = np.asarray(tree.child_visit[0, 0])
+    slot = int(np.argmax(np.where(cn >= 0, cv, -1)))
+
+    sub, ok = jax.jit(descend_batch)(tree, jnp.int32([slot]))
+    assert bool(ok[0])
+    carried = int(sub.node_count[0])
+    assert carried >= 2  # premise: the most-visited child has a subtree
+
+    fits = tree.max_nodes - carried  # largest budget the pool can absorb
+    _, ok2 = jax.jit(
+        descend_batch, static_argnames="min_headroom"
+    )(tree, jnp.int32([slot]), min_headroom=fits)
+    assert bool(ok2[0])
+    _, ok3 = jax.jit(
+        descend_batch, static_argnames="min_headroom"
+    )(tree, jnp.int32([slot]), min_headroom=fits + 1)
+    assert not bool(ok3[0])

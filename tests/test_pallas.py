@@ -144,3 +144,70 @@ def test_search_with_pallas_topk_matches_exact_reference():
     np.testing.assert_allclose(
         np.asarray(got.child_value), np.asarray(ref.child_value), atol=1e-6
     )
+
+
+def test_search_with_unsorted_topk_matches_lax_semantics():
+    """Search outcome (per-ACTION root visit/value stats) is identical
+    whether expansion uses sorted lax.top_k or the unsorted exact
+    selection — from a position where action 0 is ILLEGAL and there are
+    fewer legal moves than max_children, so the unsorted impls place a -1
+    filler in slot 0 (regression: Tree.root_expanded must not key on
+    slot 0, else the root is wiped and re-expanded every simulation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from takzero_tpu.search.agents import dummy_evaluator
+    from takzero_tpu.search.core import make_kernels
+    from takzero_tpu.search.tree import init_tree
+    from takzero_tpu.tak import engine, ptn_to_action
+
+    eng = engine(3)
+    s = eng.initial()
+    # Occupy a1: the lowest-indexed placement becomes illegal.
+    s = eng.step_jit(s, ptn_to_action(3, "a1"))
+    s = eng.step_jit(s, ptn_to_action(3, "c3"))
+    legal = np.asarray(eng.legal_mask(s))
+    assert not legal[0] and legal.sum() < 64  # the premise of the test
+    envs = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape), s)
+
+    def per_action(tree):
+        # Scatter root child stats to dense action-indexed arrays, the
+        # slot-permutation-invariant view of the search result.
+        act = np.asarray(tree.child_action[:, 0, :])
+        vis = np.asarray(tree.child_visit[:, 0, :])
+        val = np.asarray(tree.child_value[:, 0, :])
+        b, a = act.shape[0], int(np.asarray(eng.legal_mask(s)).shape[0])
+        dv = np.zeros((b, a), vis.dtype)
+        dq = np.zeros((b, a), val.dtype)
+        for i in range(b):
+            m = act[i] >= 0
+            dv[i, act[i, m]] = vis[i, m]
+            dq[i, act[i, m]] = val[i, m]
+        return dv, dq
+
+    def run(topk):
+        simulate, simulate_batch = make_kernels(
+            eng, dummy_evaluator(eng), max_depth=16, topk=topk
+        )
+
+        @jax.jit
+        def go(tree):
+            tree = simulate(tree, jnp.zeros(2))
+            return simulate_batch(tree, jnp.zeros(2), 7)
+
+        return go(init_tree(eng, envs, max_nodes=16, max_children=64))
+
+    got = run("exact_ref")
+    ref = run("lax")
+    assert np.asarray(got.root_expanded()).all()
+    np.testing.assert_array_equal(
+        np.asarray(got.node_count), np.asarray(ref.node_count)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.root_visit), np.asarray(ref.root_visit)
+    )
+    gv, gq = per_action(got)
+    rv, rq = per_action(ref)
+    np.testing.assert_array_equal(gv, rv)
+    np.testing.assert_allclose(gq, rq, atol=1e-6)
