@@ -134,6 +134,17 @@ def main(argv=None) -> None:
         steps, path = resume
         log.info("resuming from %s at step %d", path, steps)
         bundle = ckpt.load_checkpoint(path, bundle)
+        if hash_logged:
+            # A crash window can leave hash_log.bin behind the resumed
+            # checkpoint's embedded bitset (log appends are deferred to the
+            # save cadence); re-append the difference so external pollers
+            # replaying the log reconstruct the full set (same recovery as
+            # drivers/learn.py).
+            missing = ckpt.reconcile_hash_log(
+                args.directory, np.asarray(bundle["hash_bits"])
+            )
+            if missing:
+                log.info("hash log reconciled: %d bits re-appended", missing)
     else:
         steps = 0
         ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
@@ -190,18 +201,23 @@ def main(argv=None) -> None:
             )
             steps += 1
             trained += 1
-            if steps % cfg.steps_per_save == 0:
-                if trained_lines:
-                    ckpt.append_hash_indices(
-                        args.directory,
-                        np.concatenate([np.asarray(i) for i in trained_lines]),
-                    )
-                    trained_lines.clear()
+            at_save = steps % cfg.steps_per_save == 0
+            at_ckpt = steps % cfg.steps_per_checkpoint == 0
+            if (at_save or at_ckpt) and trained_lines:
+                # Keep hash_log.bin at least as fresh as any artifact
+                # written this step: external pollers replay the log to
+                # track the bitset embedded in immutable checkpoints.
+                ckpt.append_hash_indices(
+                    args.directory,
+                    np.concatenate([np.asarray(i) for i in trained_lines]),
+                )
+                trained_lines.clear()
+            if at_save:
                 saver.submit(
                     args.directory, "model_latest.ckpt",
                     ckpt.strip_hash_bits(bundle),
                 )
-            if steps % cfg.steps_per_checkpoint == 0:
+            if at_ckpt:
                 saver.submit(args.directory, f"model_{steps:07d}.ckpt", bundle)
         co.write_buffer_lengths(args.directory, len(buffer), 0)
         log.info(

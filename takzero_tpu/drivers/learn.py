@@ -40,6 +40,32 @@ from ..utils import ckpt
 log = logging.getLogger("learn")
 
 
+def chunk_len(
+    model_steps: int,
+    chunk_steps: int,
+    cfg,
+    cross_reanalyze: bool,
+    target_steps: int | None,
+) -> int:
+    """Steps in the next dispatch chunk.
+
+    Chunks never cross a save boundary, an immutable-checkpoint boundary
+    (both stay exact-step even for cadences not aligned to each other —
+    e.g. ``--chunk-steps 20 --steps-per-checkpoint 250``), the reanalyze
+    switch-on, or the step target.
+    """
+    c = min(
+        chunk_steps,
+        cfg.steps_per_save - (model_steps % cfg.steps_per_save),
+        cfg.steps_per_checkpoint - (model_steps % cfg.steps_per_checkpoint),
+    )
+    if not cross_reanalyze:
+        c = min(c, cfg.steps_before_reanalyze - (model_steps + 1))
+    if target_steps is not None:
+        c = min(c, target_steps - model_steps)
+    return max(c, 1)
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--directory", required=True)
@@ -262,17 +288,11 @@ def main(argv=None) -> None:
             args.restart_targets is not None
             or first >= cfg.steps_before_reanalyze
         )
-        # Chunk length: never cross a save/checkpoint boundary (they stay
-        # exact-step), the reanalyze switch-on, or the step target.
-        c = min(
-            chunk_steps,
-            cfg.steps_per_save - (model_steps % cfg.steps_per_save),
+        c = chunk_len(
+            model_steps, chunk_steps, cfg,
+            cross_reanalyze=using_reanalyze or args.restart_targets is not None,
+            target_steps=target_steps,
         )
-        if not using_reanalyze and args.restart_targets is None:
-            c = min(c, cfg.steps_before_reanalyze - first)
-        if target_steps is not None:
-            c = min(c, target_steps - model_steps)
-        c = max(c, 1)
 
         while True:
             if time.time() - last_read >= (

@@ -38,21 +38,40 @@ class Tailer:
 
     The reference asserts target files never shrink (learn:303-304).  A
     rotated/rewritten file would make that assumption silently wedge the
-    reader (seek past EOF reads nothing forever) — instead, a shrink is
-    detected via file size and the offset resets to 0, re-tailing the new
-    content from the start (the same "resume = re-tail" recovery the
-    protocol already relies on, SURVEY.md §5.3/§5.4).
+    reader (seek past EOF reads nothing forever) — instead, a rewrite is
+    detected and the offset resets to 0, re-tailing the new content from
+    the start (the same "resume = re-tail" recovery the protocol already
+    relies on, SURVEY.md §5.3/§5.4).  Size alone can't detect an
+    equal-or-longer replacement (a restarted actor quickly regenerating
+    more targets than before would leave the reader mid-record), so the
+    inode and the first consumed bytes are checked too.
     """
+
+    _SIG_LEN = 64
 
     def __init__(self, directory, name: str):
         self.path = pathlib.Path(directory) / name
         self.offset = 0
+        self.inode = None
+        self.sig = b""  # first min(offset, _SIG_LEN) bytes already consumed
 
     def read_new_lines(self) -> list[str]:
         if not self.path.exists():
             return []
-        if self.path.stat().st_size < self.offset:
-            self.offset = 0  # file was truncated/rewritten
+        st = self.path.stat()
+        if st.st_size < self.offset or (
+            self.inode is not None and st.st_ino != self.inode
+        ):
+            self.offset = 0  # file was truncated/rotated
+            self.sig = b""
+        self.inode = st.st_ino
+        if self.sig:
+            # Same inode, size >= offset: confirm it is still the same
+            # content (an in-place rewrite reuses the inode).
+            with open(self.path, "rb") as f:
+                if f.read(len(self.sig)) != self.sig:
+                    self.offset = 0
+                    self.sig = b""
         with open(self.path, "r", encoding="utf-8") as f:
             f.seek(self.offset)
             data = f.read()
@@ -60,8 +79,12 @@ class Tailer:
             last_nl = data.rfind("\n")
             if last_nl < 0:
                 return []
+            consumed = data[: last_nl + 1]
+            if len(self.sig) < self._SIG_LEN:
+                head = consumed.encode("utf-8")[: self._SIG_LEN - len(self.sig)]
+                self.sig += head
             self.offset += last_nl + 1
-            return data[: last_nl + 1].splitlines()
+            return consumed.splitlines()
 
 
 def write_buffer_lengths(directory, selfplay: int, reanalyze: int) -> None:

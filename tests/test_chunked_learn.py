@@ -200,3 +200,27 @@ def test_async_saver_coalesces_same_name(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"]), ref
     )
+
+
+def test_chunk_len_respects_unaligned_checkpoint_cadence():
+    """--steps-per-checkpoint cadences not aligned to steps_per_save must
+    still land exactly (regression: clamping only to steps_per_save made
+    `model_steps % 250 == 0` unreachable with --chunk-steps 20, silently
+    skipping every immutable checkpoint)."""
+    from takzero_tpu.config import LearnConfig
+    from takzero_tpu.drivers.learn import chunk_len
+
+    cfg = LearnConfig(steps_per_save=100, steps_per_checkpoint=250)
+    hits_ckpt, hits_save, steps = set(), set(), 0
+    while steps < 1200:
+        c = chunk_len(
+            steps, 20, cfg, cross_reanalyze=True, target_steps=1200
+        )
+        steps += c
+        if steps % cfg.steps_per_checkpoint == 0:
+            hits_ckpt.add(steps)
+        if steps % cfg.steps_per_save == 0:
+            hits_save.add(steps)
+    assert steps == 1200
+    assert hits_ckpt == {250, 500, 750, 1000}
+    assert {100, 200, 300, 1100}.issubset(hits_save)

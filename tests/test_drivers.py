@@ -121,3 +121,33 @@ def test_tailer_tolerates_truncated_file(tmp_path):
     with open(path, "a", encoding="utf-8") as f:
         f.write("-done\n")
     assert tail.read_new_lines() == ["partial-done"]
+
+
+def test_tailer_detects_equal_or_longer_rewrite(tmp_path):
+    """Fault injection: a rewrite whose new content is the SAME SIZE or
+    LONGER than the consumed offset must also reset the reader — size
+    alone cannot distinguish it from an append, so Tailer compares the
+    inode and the first consumed bytes."""
+    d = str(tmp_path)
+    tail = co.Tailer(d, co.TARGETS_SELFPLAY)
+    path = pathlib.Path(d) / co.TARGETS_SELFPLAY
+
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["aaa", "bbb"])
+    assert tail.read_new_lines() == ["aaa", "bbb"]
+
+    # In-place rewrite, same inode, LONGER content with different bytes:
+    # without the signature check the reader would seek mid-record.
+    path.write_text("XXXXX\nYYYYY\nZZZZZ\n")
+    assert tail.read_new_lines() == ["XXXXX", "YYYYY", "ZZZZZ"]
+
+    # Rotation: new file under the same name (new inode), same length as
+    # the consumed prefix.
+    repl = path.with_suffix(".new")
+    repl.write_text("p\nq\nr\ns\nt\nu\n")
+    repl.replace(path)
+    got = tail.read_new_lines()
+    assert got == ["p", "q", "r", "s", "t", "u"]
+
+    # Appends still flow.
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["tail"])
+    assert tail.read_new_lines() == ["tail"]
