@@ -45,8 +45,10 @@ ACTOR_PROCESSES = 20  # 10 selfplay + 10 reanalyze, README.md:128-135
 
 def measure_search(quick: bool) -> dict:
     exe = CPP / "tak_mcts_bench"
-    if not exe.exists():
-        subprocess.run(["make", "-C", str(CPP), "bench"], check=True)
+    # Always invoke make: it no-ops when the binary is newer than its
+    # sources, and rebuilds after any edit — a stale binary would silently
+    # anchor BASELINE.json (and hence every vs_baseline) to old code.
+    subprocess.run(["make", "-C", str(CPP), "bench"], check=True)
     out = subprocess.run(
         [str(exe), "--moves", "4" if quick else "20"],
         check=True, capture_output=True, text=True,

@@ -28,6 +28,7 @@ import logging
 import pathlib
 import subprocess
 import sys
+import time
 
 log = logging.getLogger("elo_curve")
 
@@ -44,6 +45,14 @@ def run_matches(args) -> pathlib.Path:
     if args.opening_book:
         cmd += ["--opening-book", args.opening_book]
     log.info("running %d evaluation rounds -> %s", args.rounds, log_path)
+    if log_path.exists():
+        # Never rescrape a previous invocation's matches on top of a
+        # replay of the same seeded games — duplicated rows would shrink
+        # the Bayes-Elo stderr without adding information.  Keep the old
+        # log around for inspection, out of the eval*.log scrape glob.
+        bak = log_path.with_suffix(f".log.prev{int(time.time())}")
+        log_path.rename(bak)
+        log.info("moved previous %s -> %s", log_path.name, bak.name)
     with open(log_path, "a", encoding="utf-8") as f:
         # The driver logs matches on stderr; tee so progress stays visible.
         proc = subprocess.Popen(cmd, stderr=subprocess.PIPE, text=True)
