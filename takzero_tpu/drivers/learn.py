@@ -102,6 +102,22 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    # Launched via drivers/multihost.py: every process runs this same
+    # loop over a global mesh; process 0 owns all filesystem writes and
+    # broadcasts its target-file reads so replicated params stay
+    # bit-identical (parallel/multihost.py).
+    multi = None
+    if jax.process_count() > 1:
+        from ..parallel import multihost as multi
+
+        if args.devices is None:
+            args.devices = len(jax.devices())
+        log.info(
+            "multihost: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    coord = multi is None or multi.is_coordinator()
+
     cfg = LearnConfig(
         batch_size=args.batch_size or LearnConfig.batch_size,
         initial_random_targets=args.pretrain_targets
@@ -115,6 +131,8 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(args.seed)
 
     mesh = None
+    rep_sharding = None
+    fetch_rep = lambda t: t  # noqa: E731 — identity outside multihost
     if args.devices:
         from ..parallel import mesh as pm
 
@@ -125,6 +143,11 @@ def main(argv=None) -> None:
             )
         mesh = pm.make_mesh(args.devices)
         log.info("data-parallel over %d devices: %s", args.devices, mesh)
+        if multi:
+            # Host fetches (metrics, hash indices) need every shard
+            # addressable locally: reshard to replicated in-graph.
+            rep_sharding = pm.replicated(mesh)
+            fetch_rep = jax.jit(lambda t: t, out_shardings=rep_sharding)
 
     def place_batch(batch, batch_dim=0):
         """Shard a host batch over dp (no-op without --devices)."""
@@ -161,7 +184,8 @@ def main(argv=None) -> None:
         from ..models.agent import hash_indices
 
         idx_fn = jax.jit(
-            lambda b, p: hash_indices(net_cfg, b, p.reshape((-1,) + p.shape[-3:]))
+            lambda b, p: hash_indices(net_cfg, b, p.reshape((-1,) + p.shape[-3:])),
+            **({} if rep_sharding is None else {"out_shardings": rep_sharding}),
         )
     else:
         idx_fn = None
@@ -175,7 +199,8 @@ def main(argv=None) -> None:
         bundle = ckpt.load_checkpoint(path, bundle)
     else:
         steps = 0
-        ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
+        if coord:
+            ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
     bundle = place_replicated(bundle)
     opt_state = place_replicated(opt_state)
 
@@ -194,13 +219,15 @@ def main(argv=None) -> None:
                 boot_idx.append(idx_fn(bundle, batch.planes))
             bundle, opt_state, _ = train_step(bundle, opt_state, batch, train_ube=False)
             steps += 1
-        ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
+        if coord:
+            ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
     elif steps == 0 and cfg.pre_training_steps > 0:
         log.info("pre-training on %d random targets", cfg.initial_random_targets)
         targets = random_pretraining_targets(eng, cfg.initial_random_targets, rng)
-        co.append_lines(
-            args.directory, co.TARGETS_INITIAL, [t.to_line() for t in targets]
-        )
+        if coord:
+            co.append_lines(
+                args.directory, co.TARGETS_INITIAL, [t.to_line() for t in targets]
+            )
         rng.shuffle(targets)
         for i in range(cfg.pre_training_steps):
             chunk = targets[i * cfg.batch_size : (i + 1) * cfg.batch_size]
@@ -213,13 +240,14 @@ def main(argv=None) -> None:
             if i % 100 == 0:
                 log.info("pretrain %d: %s", i, jax.tree.map(float, m))
             steps += 1
-        ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
+        if coord:
+            ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
 
-    if boot_idx:
+    if boot_idx and coord:
         ckpt.append_hash_indices(
             args.directory, np.concatenate([np.asarray(i) for i in boot_idx])
         )
-    if hash_logged and resume is not None:
+    if hash_logged and resume is not None and coord:
         # A crash can leave the log behind the resumed checkpoint's bitset
         # (log appends are deferred one chunk); re-append the difference so
         # actors reconstruct the full set.
@@ -229,9 +257,10 @@ def main(argv=None) -> None:
         if missing:
             log.info("hash log reconciled: %d bits re-appended", missing)
 
-    ckpt.save_checkpoint(
-        args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
-    )
+    if coord:
+        ckpt.save_checkpoint(
+            args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+        )
 
     # RND variants: fixed early/late reference batches drive the min/max
     # normalization refresh (learn/src/rnd_normalization.rs:48-77).
@@ -265,6 +294,8 @@ def main(argv=None) -> None:
     def flush_metrics(item):
         """Fetch one chunk's stacked metrics and log/record per step."""
         first_step, c, metrics, chunk_idx = item
+        if not coord:
+            return
         if chunk_idx is not None:
             ckpt.append_hash_indices(args.directory, np.asarray(chunk_idx))
         m_host = jax.tree.map(np.asarray, metrics)
@@ -295,24 +326,41 @@ def main(argv=None) -> None:
         )
 
         while True:
-            if time.time() - last_read >= (
+            want_read = time.time() - last_read >= (
                 0.0 if args.no_wait else cfg.min_seconds_between_reads
-            ):
+            )
+            if multi:
+                # Clock-gated decisions diverge across processes; follow
+                # the coordinator so every process runs the same sequence
+                # of (collective) broadcast reads.
+                want_read = bool(multi.broadcast_scalar(want_read))
+            if want_read:
                 # Buffers hold raw validated lines; parsing happens natively
-                # per batch (data/native_loader.py).
+                # per batch (data/native_loader.py).  In multihost mode only
+                # the coordinator tails the files; everyone receives the
+                # same lines, keeping buffers/batches/params bit-identical.
+                sp_lines = sp_tail.read_new_lines() if coord else None
+                if multi:
+                    sp_lines = multi.broadcast_lines(sp_lines)
                 sp_buffer.extend(
-                    valid_target_lines(net_cfg.n, sp_tail.read_new_lines()),
+                    valid_target_lines(net_cfg.n, sp_lines),
                     cfg.selfplay_forced_uses,
                     first,
                 )
                 if using_reanalyze:
+                    re_lines = re_tail.read_new_lines() if coord else None
+                    if multi:
+                        re_lines = multi.broadcast_lines(re_lines)
                     re_buffer.extend(
-                        valid_target_lines(net_cfg.n, re_tail.read_new_lines()),
+                        valid_target_lines(net_cfg.n, re_lines),
                         cfg.reanalyze_forced_uses,
                         first,
                     )
                 last_read = time.time()
-                co.write_buffer_lengths(args.directory, len(sp_buffer), len(re_buffer))
+                if coord:
+                    co.write_buffer_lengths(
+                        args.directory, len(sp_buffer), len(re_buffer)
+                    )
 
             if args.no_wait:
                 # Tests: fit the chunk to the available full batches.
@@ -345,11 +393,12 @@ def main(argv=None) -> None:
                     break
                 for item in pending_metrics:
                     flush_metrics(item)
-                saver.submit(
-                    args.directory,
-                    "model_latest.ckpt",
-                    ckpt.strip_hash_bits(bundle),
-                )
+                if coord:
+                    saver.submit(
+                        args.directory,
+                        "model_latest.ckpt",
+                        ckpt.strip_hash_bits(bundle),
+                    )
                 saver.drain()
                 return
             log.info(
@@ -392,6 +441,8 @@ def main(argv=None) -> None:
         # compute (dispatch is asynchronous).
         first_step = model_steps + 1
         model_steps += c
+        if multi:
+            metrics = fetch_rep(metrics)
         pending_metrics.append((first_step, c, metrics, chunk_idx))
         if len(pending_metrics) > 1:
             flush_metrics(pending_metrics.pop(0))
@@ -405,18 +456,19 @@ def main(argv=None) -> None:
         # would otherwise stall the dispatch loop.  Latest is weights-only
         # (actors track the bitset via the hash log); immutable step
         # checkpoints embed the full bitset for self-contained resume.
-        if model_steps % cfg.steps_per_save == 0:
+        if coord and model_steps % cfg.steps_per_save == 0:
             saver.submit(
                 args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
             )
-        if model_steps % cfg.steps_per_checkpoint == 0:
+        if coord and model_steps % cfg.steps_per_checkpoint == 0:
             saver.submit(args.directory, f"model_{model_steps:07d}.ckpt", bundle)
     for item in pending_metrics:
         flush_metrics(item)
     # Always leave a final latest for downstream consumers (tests rely on it).
-    saver.submit(
-        args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
-    )
+    if coord:
+        saver.submit(
+            args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
+        )
     saver.drain()
 
 

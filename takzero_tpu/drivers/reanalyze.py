@@ -80,8 +80,31 @@ def main(argv=None) -> None:
         "(the reference's `exploration` feature, reanalyze:42-47,119-133)",
     )
     parser.add_argument("--exploration-buffer", type=int, default=128_000)
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="shard the position batch over the first N visible devices "
+        "under a dp mesh, model replicated (same layout as "
+        "drivers/selfplay.py --devices)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+
+    # Launched via drivers/multihost.py: position batch sharded over the
+    # global mesh; process 0 owns the tail reads (broadcast to keep every
+    # process's sample stream identical) and all file writes.
+    multi = None
+    if jax.process_count() > 1:
+        from ..parallel import multihost as multi
+
+        if args.devices is None:
+            args.devices = len(jax.devices())
+        log.info(
+            "multihost: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    coord = multi is None or multi.is_coordinator()
 
     cfg = ReanalyzeConfig(
         batch_size=args.batch or ReanalyzeConfig.batch_size,
@@ -98,6 +121,21 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
+    mesh = None
+    rep_sharding = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        if cfg.batch_size % args.devices:
+            parser.error(
+                f"--batch {cfg.batch_size} not divisible by "
+                f"--devices {args.devices}"
+            )
+        mesh = pm.make_mesh(args.devices)
+        log.info("position batch sharded over %d devices: %s", args.devices, mesh)
+        if multi:
+            rep_sharding = pm.replicated(mesh)
+
     evaluator = make_net_evaluate(net_cfg, eng)
     step = jax.jit(
         make_reanalyze_step(
@@ -108,11 +146,21 @@ def main(argv=None) -> None:
             cfg.max_children,
             cfg.max_depth,
             cfg.ube_target_beta,
-        )
+        ),
+        # Host fetch of the per-position search outputs needs every shard
+        # addressable locally under multihost: reshard in-graph.
+        **({} if rep_sharding is None else {"out_shardings": rep_sharding}),
     )
 
     bundle = new_agent(net_cfg, seed=args.seed)
-    poller = ckpt.LatestPoller(args.directory)
+    if mesh is not None:
+        from ..parallel import mesh as pm
+
+        bundle = pm.replicate(mesh, bundle)
+    poller = ckpt.LatestPoller(
+        args.directory,
+        sharding=None if mesh is None else pm.replicated(mesh),
+    )
     positions = PositionBuffer(rng)
     tail = co.Tailer(args.directory, co.REPLAYS)
     expl_positions = PositionBuffer(rng, max_len=args.exploration_buffer)
@@ -128,9 +176,15 @@ def main(argv=None) -> None:
         )
         bundle, _ = poller.reload_if_changed(bundle, log)
 
-        positions.extend(explode_replays(eng, tail.read_new_lines()))
+        lines = tail.read_new_lines() if coord else None
+        if multi:
+            lines = multi.broadcast_lines(lines)
+        positions.extend(explode_replays(eng, lines))
         if args.exploration_positions:
-            expl_positions.extend(explode_replays(eng, expl_tail.read_new_lines()))
+            expl_lines = expl_tail.read_new_lines() if coord else None
+            if multi:
+                expl_lines = multi.broadcast_lines(expl_lines)
+            expl_positions.extend(explode_replays(eng, expl_lines))
         if len(positions) < cfg.min_positions:
             if args.max_steps is not None:
                 log.info("only %d positions, stopping (test mode)", len(positions))
@@ -151,13 +205,17 @@ def main(argv=None) -> None:
         ]
         key, k = jax.random.split(key)
         t0 = time.time()
-        _, pol, child_actions, ube, value = step(
-            jax.tree.map(jax.numpy.asarray, states), bundle, k
-        )
+        batch_states = jax.tree.map(jax.numpy.asarray, states)
+        if mesh is not None:
+            from ..parallel import mesh as pm
+
+            batch_states = pm.shard_batch(mesh, batch_states)
+        _, pol, child_actions, ube, value = step(batch_states, bundle, k)
         targets = build_targets(net_cfg.n, tps_batch, pol, child_actions, ube, value)
-        co.append_lines(
-            args.directory, co.TARGETS_REANALYZE, [t.to_line() for t in targets]
-        )
+        if coord:
+            co.append_lines(
+                args.directory, co.TARGETS_REANALYZE, [t.to_line() for t in targets]
+            )
         log.info("step %d: %d targets in %.2fs", steps, len(targets), time.time() - t0)
 
 

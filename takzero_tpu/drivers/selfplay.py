@@ -62,7 +62,28 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
+    # Launched via drivers/multihost.py: the game batch is sharded over
+    # the global mesh; every process runs the identical collective move
+    # step and host bookkeeping, process 0 owns all file writes
+    # (parallel/multihost.py).  Model reload and hash-log polling key off
+    # shared-FS stat/offsets, so processes agree up to a one-move skew —
+    # harmless for data generation and self-healing on the next poll.
+    multi = None
+    if jax.process_count() > 1:
+        from ..parallel import multihost as multi
+
+        if args.devices is None:
+            args.devices = len(jax.devices())
+        log.info(
+            "multihost: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    coord = multi is None or multi.is_coordinator()
+
     seed = args.seed if args.seed is not None else np.random.SeedSequence().entropy % 2**31
+    if multi:
+        # Lockstep lanes need one shared RNG stream.
+        seed = multi.broadcast_scalar(seed)
     log.info("seed = %s", seed)
     key = jax.random.PRNGKey(seed)
 
@@ -91,7 +112,12 @@ def main(argv=None) -> None:
         log.info("game batch sharded over %d devices: %s", args.devices, mesh)
 
     evaluator = make_net_evaluate(net_cfg, eng)
-    sp = SelfplayEngine(eng, sp_cfg, evaluator)
+    rep_fetch = None
+    if multi and mesh is not None:
+        from ..parallel import mesh as pm
+
+        rep_fetch = pm.replicated(mesh)
+    sp = SelfplayEngine(eng, sp_cfg, evaluator, replicate_fetch=rep_fetch)
     key, k0 = jax.random.split(key)
     sp.reset(k0)
     if mesh is not None:
@@ -128,7 +154,7 @@ def main(argv=None) -> None:
 
         key, k_move = jax.random.split(key)
         targets, replays, exploration_replays = sp.play_move(bundle, k_move)
-        if args.dump_search:
+        if args.dump_search and coord:
             from ..selfplay import dump_root_line
 
             # last_root stays on device unless dumping is enabled.
@@ -154,7 +180,7 @@ def main(argv=None) -> None:
             (co.REPLAYS, replays),
             (co.REPLAYS_EXPLORATION, exploration_replays),
         ):
-            if not items:
+            if not items or not coord:
                 continue
             lines = [x.to_line() for x in items]
             try:

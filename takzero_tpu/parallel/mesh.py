@@ -47,6 +47,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place(x, sharding: NamedSharding | None):
+    """device_put in-process; callback assembly when the mesh spans
+    processes (each process contributes only its addressable shards, so
+    the same full host value must be present on every process — the
+    multihost drivers guarantee that by broadcasting reads and seeds,
+    parallel/multihost.py)."""
+    if sharding is None or jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "dp", batch_dim: int = 0):
     """Place a pytree with `batch_dim` sharded over the mesh.
 
@@ -57,11 +69,11 @@ def shard_batch(mesh: Mesh, batch, axis: str = "dp", batch_dim: int = 0):
     def put(x):
         spec = [None] * x.ndim
         spec[batch_dim] = axis
-        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return place(x, NamedSharding(mesh, P(*spec)))
 
     return jax.tree.map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: place(x, rep), tree)

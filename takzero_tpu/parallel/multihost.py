@@ -53,6 +53,49 @@ def global_mesh(axis: str = "dp"):
     return make_mesh(axis=axis)
 
 
+def is_coordinator() -> bool:
+    """Process 0 owns every filesystem WRITE in multihost driver mode
+    (checkpoints, target/replay appends, metrics, buffer lengths) — the
+    other processes run the identical collective compute but stay silent
+    so shared files are written exactly once."""
+    return jax.process_index() == 0
+
+
+def broadcast_scalar(value) -> int:
+    """Coordinator's integer scalar (flag, seed) to every process.
+    Collective: every process must call this at the same point.  Values
+    must fit int32 (jax x64 is off); both current uses — read-gate flags
+    and 31-bit seeds — do."""
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    return int(mhu.broadcast_one_to_all(np.int64(int(value))))
+
+
+def broadcast_lines(lines: list[str] | None) -> list[str]:
+    """Coordinator's text lines to every process.
+
+    The learner's target-file tailing is NOT deterministic across
+    processes (each would observe a different prefix of a file being
+    appended to), so in multihost mode only the coordinator reads and the
+    result is broadcast — keeping every process's replay buffer, batch
+    draw, and therefore replicated parameters bit-identical.  Collective;
+    non-coordinators pass anything (``None``).
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    payload = "\n".join(lines).encode("utf-8") if lines else b""
+    n = int(mhu.broadcast_one_to_all(np.int64(len(payload))))
+    if n == 0:
+        return []
+    buf = np.zeros(n, np.uint8)
+    if is_coordinator():
+        buf = np.frombuffer(payload, np.uint8).copy()
+    buf = np.asarray(mhu.broadcast_one_to_all(buf))
+    return buf.tobytes().decode("utf-8").split("\n")
+
+
 def process_batch_slice(global_batch: int) -> tuple[int, int]:
     """(per-process batch, offset): split a batch over processes for
     host-local data feeding (each host builds its slice of the batch;

@@ -92,13 +92,23 @@ class GameLog:
 
 
 class SelfplayEngine:
-    """Drives `batch` concurrent games; emits finished Targets/Replays."""
+    """Drives `batch` concurrent games; emits finished Targets/Replays.
 
-    def __init__(self, eng: TakEngine, cfg: SelfplayConfig, evaluator_factory):
+    ``replicate_fetch`` (a replicated NamedSharding over the global mesh)
+    makes the per-move packed host buffer and the root-statistics export
+    fully addressable on every process when the game batch is sharded
+    across a multi-process mesh — the in-graph reshard is an ICI
+    all-gather of a few KiB, so every process can run the identical host
+    bookkeeping (only the coordinator writes files, drivers/selfplay.py).
+    """
+
+    def __init__(self, eng: TakEngine, cfg: SelfplayConfig, evaluator_factory,
+                 replicate_fetch=None):
         self.eng = eng
         self.cfg = cfg
         self._opening = make_new_opening(eng)
         self._betas = jnp.asarray(cfg.betas())
+        self._rep = replicate_fetch
 
         def move_fn(envs, tree, bundle, key):
             evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
@@ -185,6 +195,12 @@ class SelfplayEngine:
                 ],
                 axis=1,
             )
+            if self._rep is not None:
+                packed = jax.lax.with_sharding_constraint(packed, self._rep)
+                root = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, self._rep),
+                    root,
+                )
             return nxt, tree_out, packed, root
 
         self._move = jax.jit(move_fn)

@@ -22,6 +22,13 @@ import jax
 import numpy as np
 from flax import serialization
 
+def _place(x, sharding):
+    """Cross-process-safe placement (parallel/mesh.py)."""
+    from ..parallel.mesh import place
+
+    return place(x, sharding)
+
+
 _STEP_RE = re.compile(r"model_(\d+)\.ckpt$")
 
 # Append-only log of novelty-hash bit indices (uint32 LE), written by the
@@ -217,7 +224,7 @@ class LatestPoller:
                 chunk = np.concatenate(
                     [chunk, np.full(self.HASH_CHUNK - chunk.size, chunk[-1], "<u4")]
                 )
-            bits = self._apply(bits, jax.device_put(chunk, self._sharding))
+            bits = self._apply(bits, _place(chunk, self._sharding))
         return {**bundle, "hash_bits": bits}, True
 
     def reload_if_changed(self, bundle, log=None):
@@ -234,7 +241,9 @@ class LatestPoller:
             # Partial load: a weights-only latest keeps the current
             # (device-resident) bitset leaf from the template.
             loaded = load_checkpoint_partial(self._path, bundle)
-            bundle = jax.device_put(loaded, self._sharding)
+            bundle = jax.tree.map(
+                lambda x: _place(x, self._sharding), loaded
+            )
         except Exception as e:  # torn read: keep the old weights
             if log is not None:
                 log.warning("cannot load model (%s), keeping current", e)
