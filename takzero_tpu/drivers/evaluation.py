@@ -68,11 +68,30 @@ def main(argv=None) -> None:
         "--fresh-tree", action="store_true",
         help="disable cross-move tree reuse for both agents",
     )
+    parser.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="shard the game batch over the first N visible devices under "
+        "a dp mesh, both models replicated (same layout as "
+        "drivers/selfplay.py --devices; tree inits follow the env "
+        "sharding through eager propagation)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     net_cfg = NET_PRESETS[args.net]
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
+    mesh = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        if args.games % args.devices:
+            parser.error(
+                f"--games {args.games} not divisible by --devices {args.devices}"
+            )
+        mesh = pm.make_mesh(args.devices)
+        log.info("game batch sharded over %d devices: %s", args.devices, mesh)
     seed = args.seed if args.seed is not None else int(time.time())
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -105,6 +124,12 @@ def main(argv=None) -> None:
             continue
 
         envs = build_openings(eng, args.games, rng, args.opening_book)
+        if mesh is not None:
+            from ..parallel import mesh as pm
+
+            a = pm.replicate(mesh, a)
+            b = pm.replicate(mesh, b)
+            envs = pm.shard_batch(mesh, envs)
         key, k1, k2 = jax.random.split(key, 3)
         r1 = compete(a, b, envs, k1, args.max_moves)
         log.info("%s vs. %s: %s %.1f%%", pa.name, pb.name, r1, r1.win_rate() * 100)

@@ -97,7 +97,8 @@ def fetch_puzzles(db_path, sql, size, depth):
     return [(tps, sol) for tps, sol in rows]
 
 
-def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key):
+def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key,
+              place=None):
     result = PuzzleResult(category="tinue" if win else "avoidance")
     for i in range(0, len(puzzles), BATCH_SIZE):
         chunk = puzzles[i : i + BATCH_SIZE]
@@ -106,6 +107,8 @@ def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key):
         while len(states) < BATCH_SIZE:
             states.append(states[-1])
         envs = jax.tree.map(jnp.asarray, stack_states(states))
+        if place is not None:
+            envs = place(envs)
         key, k = jax.random.split(key)
         tree = search_jit(envs, bundle, k)
         best = np.asarray(slot_action(tree, select_best_slot(tree)))
@@ -163,6 +166,9 @@ def main(argv=None) -> None:
                         "checkpoints trained at other sizes)")
     parser.add_argument("--blocks", type=int, default=None)
     parser.add_argument("--hash-bits", type=int, default=None)
+    parser.add_argument("--devices", type=int, default=None,
+                        help="shard the puzzle batch over the first N "
+                        "visible devices under a dp mesh, model replicated")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -183,6 +189,16 @@ def main(argv=None) -> None:
     n = net_cfg.n
     eng = engine(n, half_komi=net_cfg.half_komi)
     bundle = ckpt.load_checkpoint_partial(args.model, new_agent(net_cfg, seed=0))
+    place = None
+    if args.devices:
+        from ..parallel import mesh as pm
+
+        if BATCH_SIZE % args.devices:
+            parser.error(f"batch {BATCH_SIZE} not divisible by --devices")
+        _mesh = pm.make_mesh(args.devices)
+        log.info("puzzle batch sharded over %d devices: %s", args.devices, _mesh)
+        bundle = pm.replicate(_mesh, bundle)
+        place = lambda envs: pm.shard_batch(_mesh, envs)  # noqa: E731
     evaluator = make_net_evaluate(net_cfg, eng)
 
     def search_step(envs, bundle, key):
@@ -208,12 +224,16 @@ def main(argv=None) -> None:
         puzzles = fetch_puzzles(args.puzzle_db, TINUE_SQL, n, depth)
         log.info("tinue %d: %d puzzles", depth, len(puzzles))
         key, k = jax.random.split(key)
-        results.append(benchmark(eng, search_jit, bundle, puzzles, True, n, k))
+        results.append(
+            benchmark(eng, search_jit, bundle, puzzles, True, n, k, place)
+        )
     for depth in (int(d) for d in args.avoidance_depths.split(",") if d):
         puzzles = fetch_puzzles(args.puzzle_db, AVOIDANCE_SQL, n, depth)
         log.info("avoidance %d: %d puzzles", depth, len(puzzles))
         key, k = jax.random.split(key)
-        results.append(benchmark(eng, search_jit, bundle, puzzles, False, n, k))
+        results.append(
+            benchmark(eng, search_jit, bundle, puzzles, False, n, k, place)
+        )
     return results
 
 

@@ -92,3 +92,71 @@ def test_selfplay_driver_devices_matches_single(tmp_path):
         == outs["multi"]["targets-selfplay.txt"]
     )
     assert outs["single"]["targets-selfplay.txt"].count("\n") > 0
+
+
+def test_evaluation_driver_devices_matches_single(tmp_path, caplog):
+    """--devices on drivers/evaluation.py: sharded pit games are
+    bit-identical to single-device (per-lane compute has no cross-lane
+    reductions; the match log lines must agree exactly)."""
+    import logging
+    import re
+
+    from takzero_tpu.drivers import evaluation as evaluation_driver
+
+    d = tmp_path / "models"
+    d.mkdir()
+    _seed_targets(str(d))  # writes model_0000000 + model_0000002
+
+    outs = {}
+    for name, extra in (("single", []), ("multi", ["--devices", "8"])):
+        with caplog.at_level(logging.INFO, logger="evaluation"):
+            caplog.clear()
+            evaluation_driver.main(
+                [
+                    "--model-path", str(d), "--net", "tiny3",
+                    "--rounds", "1", "--games", "8", "--budget", "16",
+                    "--sampled", "4", "--seed", "11", "--max-moves", "40",
+                ]
+                + extra
+            )
+        outs[name] = [
+            r.getMessage()
+            for r in caplog.records
+            if re.search(r"vs\. .*Evaluation", r.getMessage())
+        ]
+    assert len(outs["single"]) == 2  # both colors
+    assert outs["single"] == outs["multi"]
+
+
+def test_puzzle_driver_devices_matches_single(tmp_path):
+    """--devices on drivers/puzzle.py: sharded solve/prove results equal
+    the single-device run on the recorded 6x6 sample DB."""
+    import dataclasses
+
+    from takzero_tpu.config import NET_PRESETS
+    from takzero_tpu.drivers import puzzle as puzzle_driver
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.utils import ckpt
+
+    net_cfg = dataclasses.replace(
+        NET_PRESETS["net6_simhash"], filters=16, blocks=2, hash_bits=12
+    )
+    model = tmp_path / "model.ckpt"
+    ckpt.save_checkpoint(str(tmp_path), "model.ckpt", new_agent(net_cfg, seed=0))
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    outs = {}
+    for name, extra in (("single", []), ("multi", ["--devices", "8"])):
+        outs[name] = puzzle_driver.main(
+            [
+                "--model", str(model),
+                "--puzzle-db", str(repo / "examples" / "puzzles_6x6_sample.db"),
+                "--net", "net6_simhash", "--filters", "16", "--blocks", "2",
+                "--hash-bits", "12", "--search-budget", "16",
+                "--sampled-actions", "4", "--depths", "3",
+                "--avoidance-depths", "2",
+            ]
+            + extra
+        )
+    assert outs["single"] == outs["multi"]
+    assert sum(r.attempted for r in outs["single"]) > 0
