@@ -38,6 +38,7 @@ from ..data.buffer import TargetBuffer
 from ..data.native_loader import make_batch_native
 from ..models.agent import make_net_evaluate, new_agent
 from ..parallel import coordinator as co
+from ..parallel import mesh as pm
 from ..selfplay import SelfplayEngine
 from ..tak import engine
 from ..train.learner import init_opt, make_optimizer, make_train_step
@@ -83,8 +84,6 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.devices:
-        from ..parallel import mesh as pm
-
         mesh = pm.make_mesh(args.devices)
         log.info("co-scheduled over %d devices: %s", args.devices, mesh)
 
@@ -111,8 +110,6 @@ def main(argv=None) -> None:
     key, k0 = jax.random.split(key)
     sp.reset(k0)
     if mesh is not None:
-        from ..parallel import mesh as pm
-
         sp.envs = pm.shard_batch(mesh, sp.envs)
         sp.tree = pm.shard_batch(mesh, sp.tree)
 
@@ -149,8 +146,6 @@ def main(argv=None) -> None:
         steps = 0
         ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
     if mesh is not None:
-        from ..parallel import mesh as pm
-
         # Replicated over the mesh: every train-step update lands in this
         # sharding and the next play_move consumes it in place — this IS
         # the ICI weights broadcast (no host copy, no file, no poll).
@@ -160,8 +155,6 @@ def main(argv=None) -> None:
     def place_batch(batch):
         if mesh is None:
             return batch
-        from ..parallel import mesh as pm
-
         return pm.shard_batch(mesh, batch)
 
     buffer = TargetBuffer(rng)

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..config import NET_PRESETS
 from ..evaluation import make_compete
+from ..parallel import mesh as pm
 from ..models.agent import make_net_evaluate, new_agent
 from ..search.openings import make_new_opening
 from ..tak import engine, tps_to_state
@@ -84,14 +85,7 @@ def main(argv=None) -> None:
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
     mesh = None
     if args.devices:
-        from ..parallel import mesh as pm
-
-        if args.games % args.devices:
-            parser.error(
-                f"--games {args.games} not divisible by --devices {args.devices}"
-            )
-        mesh = pm.make_mesh(args.devices)
-        log.info("game batch sharded over %d devices: %s", args.devices, mesh)
+        mesh = pm.driver_mesh(parser, args.devices, args.games, log, "--games")
     seed = args.seed if args.seed is not None else int(time.time())
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -125,8 +119,6 @@ def main(argv=None) -> None:
 
         envs = build_openings(eng, args.games, rng, args.opening_book)
         if mesh is not None:
-            from ..parallel import mesh as pm
-
             a = pm.replicate(mesh, a)
             b = pm.replicate(mesh, b)
             envs = pm.shard_batch(mesh, envs)

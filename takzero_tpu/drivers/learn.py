@@ -27,6 +27,7 @@ from ..data.buffer import TargetBuffer
 from ..data.native_loader import make_batch_native, valid_target_lines
 from ..models.agent import new_agent
 from ..parallel import coordinator as co
+from ..parallel import mesh as pm
 from ..tak import engine
 from ..train.data import make_batch, random_pretraining_targets
 from ..train.learner import (
@@ -134,15 +135,9 @@ def main(argv=None) -> None:
     rep_sharding = None
     fetch_rep = lambda t: t  # noqa: E731 — identity outside multihost
     if args.devices:
-        from ..parallel import mesh as pm
-
-        if cfg.batch_size % args.devices:
-            parser.error(
-                f"--batch-size {cfg.batch_size} not divisible by "
-                f"--devices {args.devices}"
-            )
-        mesh = pm.make_mesh(args.devices)
-        log.info("data-parallel over %d devices: %s", args.devices, mesh)
+        mesh = pm.driver_mesh(
+            parser, args.devices, cfg.batch_size, log, "--batch-size"
+        )
         if multi:
             # Host fetches (metrics, hash indices) need every shard
             # addressable locally: reshard to replicated in-graph.
@@ -153,15 +148,11 @@ def main(argv=None) -> None:
         """Shard a host batch over dp (no-op without --devices)."""
         if mesh is None:
             return batch
-        from ..parallel import mesh as pm
-
         return pm.shard_batch(mesh, batch, batch_dim=batch_dim)
 
     def place_replicated(tree):
         if mesh is None:
             return tree
-        from ..parallel import mesh as pm
-
         return pm.replicate(mesh, tree)
 
     tx = make_optimizer(cfg.learning_rate)
@@ -321,7 +312,7 @@ def main(argv=None) -> None:
         )
         c = chunk_len(
             model_steps, chunk_steps, cfg,
-            cross_reanalyze=using_reanalyze or args.restart_targets is not None,
+            cross_reanalyze=using_reanalyze,  # already covers restart_targets
             target_steps=target_steps,
         )
 

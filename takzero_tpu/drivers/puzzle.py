@@ -27,6 +27,7 @@ import numpy as np
 
 from ..config import NET_PRESETS
 from ..models.agent import make_net_evaluate, new_agent
+from ..parallel import mesh as pm
 from ..search import eval as ev
 from ..search.gumbel import make_gumbel_search
 from ..search.policy import select_best_slot, slot_action
@@ -191,12 +192,7 @@ def main(argv=None) -> None:
     bundle = ckpt.load_checkpoint_partial(args.model, new_agent(net_cfg, seed=0))
     place = None
     if args.devices:
-        from ..parallel import mesh as pm
-
-        if BATCH_SIZE % args.devices:
-            parser.error(f"batch {BATCH_SIZE} not divisible by --devices")
-        _mesh = pm.make_mesh(args.devices)
-        log.info("puzzle batch sharded over %d devices: %s", args.devices, _mesh)
+        _mesh = pm.driver_mesh(parser, args.devices, BATCH_SIZE, log, "batch")
         bundle = pm.replicate(_mesh, bundle)
         place = lambda envs: pm.shard_batch(_mesh, envs)  # noqa: E731
     evaluator = make_net_evaluate(net_cfg, eng)

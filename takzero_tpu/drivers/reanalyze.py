@@ -24,6 +24,7 @@ from ..data import native_loader as nl
 from ..data.buffer import PositionBuffer
 from ..models.agent import make_net_evaluate, new_agent
 from ..parallel import coordinator as co
+from ..parallel import mesh as pm
 from ..reanalyze import build_targets, make_reanalyze_step
 from ..tak import engine, state_to_tps
 from ..utils import ckpt
@@ -124,15 +125,7 @@ def main(argv=None) -> None:
     mesh = None
     rep_sharding = None
     if args.devices:
-        from ..parallel import mesh as pm
-
-        if cfg.batch_size % args.devices:
-            parser.error(
-                f"--batch {cfg.batch_size} not divisible by "
-                f"--devices {args.devices}"
-            )
-        mesh = pm.make_mesh(args.devices)
-        log.info("position batch sharded over %d devices: %s", args.devices, mesh)
+        mesh = pm.driver_mesh(parser, args.devices, cfg.batch_size, log, "--batch")
         if multi:
             rep_sharding = pm.replicated(mesh)
 
@@ -154,8 +147,6 @@ def main(argv=None) -> None:
 
     bundle = new_agent(net_cfg, seed=args.seed)
     if mesh is not None:
-        from ..parallel import mesh as pm
-
         bundle = pm.replicate(mesh, bundle)
     poller = ckpt.LatestPoller(
         args.directory,
@@ -168,12 +159,19 @@ def main(argv=None) -> None:
     steps = 0
     while args.max_steps is None or steps < args.max_steps:
         steps += 1
-        co.wait_for_backpressure(
-            args.directory,
-            cfg.max_reanalyze_buffer,
-            which=1,
-            max_wait=None if args.max_steps is None else 0.0,
-        )
+        max_wait = None if args.max_steps is None else 0.0
+        if multi:
+            from .selfplay import _coordinated_backpressure
+
+            _coordinated_backpressure(
+                multi, coord, args.directory, cfg.max_reanalyze_buffer, 1,
+                max_wait,
+            )
+        else:
+            co.wait_for_backpressure(
+                args.directory, cfg.max_reanalyze_buffer, which=1,
+                max_wait=max_wait,
+            )
         bundle, _ = poller.reload_if_changed(bundle, log)
 
         lines = tail.read_new_lines() if coord else None
@@ -207,8 +205,6 @@ def main(argv=None) -> None:
         t0 = time.time()
         batch_states = jax.tree.map(jax.numpy.asarray, states)
         if mesh is not None:
-            from ..parallel import mesh as pm
-
             batch_states = pm.shard_batch(mesh, batch_states)
         _, pol, child_actions, ube, value = step(batch_states, bundle, k)
         targets = build_targets(net_cfg.n, tps_batch, pol, child_actions, ube, value)

@@ -22,11 +22,33 @@ import numpy as np
 from ..config import MAX_SELFPLAY_BUFFER_LEN, NET_PRESETS, selfplay_preset
 from ..models.agent import make_net_evaluate, new_agent
 from ..parallel import coordinator as co
+from ..parallel import mesh as pm
 from ..selfplay import SelfplayEngine
 from ..tak import engine
 from ..utils import ckpt
 
 log = logging.getLogger("selfplay")
+
+
+def _coordinated_backpressure(
+    multi, coord, directory, max_buffer, which, max_wait
+):
+    """Multihost-safe backpressure: per-process file polling can diverge
+    (stale attribute caches, races with the learner's write) and strand
+    one process in a sleep loop while its peers block inside the
+    collective step — so the coordinator decides and everyone follows
+    via short per-second collectives (never one long blocking one)."""
+    waited = 0.0
+    while True:
+        clear = True
+        if coord:
+            clear = not co.backpressure_hit(directory, max_buffer, which)
+        if bool(multi.broadcast_scalar(clear)):
+            return
+        time.sleep(1.0)
+        waited += 1.0
+        if max_wait is not None and waited >= max_wait:
+            return
 
 
 def main(argv=None) -> None:
@@ -102,27 +124,16 @@ def main(argv=None) -> None:
 
     mesh = None
     if args.devices:
-        from ..parallel import mesh as pm
-
-        if sp_cfg.batch % args.devices:
-            parser.error(
-                f"--batch {sp_cfg.batch} not divisible by --devices {args.devices}"
-            )
-        mesh = pm.make_mesh(args.devices)
-        log.info("game batch sharded over %d devices: %s", args.devices, mesh)
+        mesh = pm.driver_mesh(parser, args.devices, sp_cfg.batch, log, "--batch")
 
     evaluator = make_net_evaluate(net_cfg, eng)
     rep_fetch = None
     if multi and mesh is not None:
-        from ..parallel import mesh as pm
-
         rep_fetch = pm.replicated(mesh)
     sp = SelfplayEngine(eng, sp_cfg, evaluator, replicate_fetch=rep_fetch)
     key, k0 = jax.random.split(key)
     sp.reset(k0)
     if mesh is not None:
-        from ..parallel import mesh as pm
-
         # Env and tree arrays are batch-leading; the jitted move step
         # propagates these shardings (GSPMD all-gathers the novelty-bitset
         # updates, everything else stays lane-local).
@@ -132,8 +143,6 @@ def main(argv=None) -> None:
     bundle = new_agent(net_cfg, seed=int(seed))
     rep = None
     if mesh is not None:
-        from ..parallel import mesh as pm
-
         rep = pm.replicated(mesh)
         bundle = pm.replicate(mesh, bundle)
     poller = ckpt.LatestPoller(args.directory, sharding=rep)
@@ -142,12 +151,17 @@ def main(argv=None) -> None:
         steps += 1
         start = time.time()
         # Backpressure + model reload-on-change (selfplay:89-125).
-        co.wait_for_backpressure(
-            args.directory,
-            MAX_SELFPLAY_BUFFER_LEN,
-            which=0,
-            max_wait=None if args.max_steps is None else 0.0,
-        )
+        max_wait = None if args.max_steps is None else 0.0
+        if multi:
+            _coordinated_backpressure(
+                multi, coord, args.directory, MAX_SELFPLAY_BUFFER_LEN, 0,
+                max_wait,
+            )
+        else:
+            co.wait_for_backpressure(
+                args.directory, MAX_SELFPLAY_BUFFER_LEN, which=0,
+                max_wait=max_wait,
+            )
         bundle, reloaded = poller.reload_if_changed(bundle, log)
         if reloaded:
             log.info("reloaded model_latest (%.2fs)", time.time() - start)

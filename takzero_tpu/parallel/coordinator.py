@@ -109,6 +109,15 @@ def read_buffer_lengths(directory) -> tuple[int, int] | None:
     return s, r
 
 
+def backpressure_hit(directory, max_buffer: int, which: int = 0) -> bool:
+    """One non-blocking backpressure check (the loop body of
+    wait_for_backpressure); multihost drivers poll this on the
+    coordinator only and broadcast the decision so no process enters the
+    collective step while another is still sleeping."""
+    lengths = read_buffer_lengths(directory)
+    return lengths is not None and lengths[which] > max_buffer
+
+
 def wait_for_backpressure(
     directory, max_buffer: int, which: int = 0, poll_seconds: float = 1.0,
     max_wait: float | None = None,
@@ -116,8 +125,7 @@ def wait_for_backpressure(
     """Sleep while our buffer is over `max_buffer` (selfplay:93-104)."""
     waited = 0.0
     while True:
-        lengths = read_buffer_lengths(directory)
-        if lengths is None or lengths[which] <= max_buffer:
+        if not backpressure_hit(directory, max_buffer, which):
             return
         time.sleep(poll_seconds)
         waited += poll_seconds

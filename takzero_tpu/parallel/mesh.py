@@ -39,6 +39,16 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def driver_mesh(parser, n_devices: int, batch: int, log, what: str) -> Mesh:
+    """Shared --devices plumbing for the driver CLIs: divisibility check,
+    mesh construction, one log line."""
+    if batch % n_devices:
+        parser.error(f"{what} {batch} not divisible by --devices {n_devices}")
+    mesh = make_mesh(n_devices)
+    log.info("%s %d sharded over %d devices: %s", what, batch, n_devices, mesh)
+    return mesh
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

@@ -120,10 +120,16 @@ def save_checkpoint(directory, name: str, bundle) -> pathlib.Path:
 def save_latest_and_step(directory, step: int, bundle, steps_per_save=100,
                          steps_per_checkpoint=50_000):
     """Reference cadence: latest every `steps_per_save`, immutable every
-    `steps_per_checkpoint` (learn/src/main.rs:44-45)."""
+    `steps_per_checkpoint` (learn/src/main.rs:44-45).  Latest is
+    weights-only per the hash-log protocol (HASH_LOG above); only the
+    immutable step checkpoints embed the full novelty bitset."""
     wrote = []
     if step % steps_per_save == 0:
-        wrote.append(save_checkpoint(directory, "model_latest.ckpt", bundle))
+        wrote.append(
+            save_checkpoint(
+                directory, "model_latest.ckpt", strip_hash_bits(bundle)
+            )
+        )
     if step % steps_per_checkpoint == 0:
         wrote.append(save_checkpoint(directory, f"model_{step:07d}.ckpt", bundle))
     return wrote
@@ -208,6 +214,11 @@ class LatestPoller:
         self._apply = None
 
     def _apply_hash_delta(self, bundle):
+        # NOTE: bitset_set is jitted with donate_argnums=0 — the input
+        # bundle's ``hash_bits`` buffer is CONSUMED (donated in place to
+        # avoid a second ~512 MiB allocation per delta).  Callers of
+        # reload_if_changed must treat the passed bundle as moved-from
+        # and use only the returned one.
         if not (isinstance(bundle, dict) and "hash_bits" in bundle):
             return bundle, False
         idx, self._hash_off = read_hash_indices(self._hash_path, self._hash_off)
@@ -324,8 +335,10 @@ class AsyncSaver:
 
     def submit_latest_and_step(self, directory, step: int, bundle,
                                steps_per_save=100, steps_per_checkpoint=50_000):
+        """Weights-only latest + full-bundle immutable checkpoints, same
+        protocol as save_latest_and_step."""
         if step % steps_per_save == 0:
-            self.submit(directory, "model_latest.ckpt", bundle)
+            self.submit(directory, "model_latest.ckpt", strip_hash_bits(bundle))
         if step % steps_per_checkpoint == 0:
             self.submit(directory, f"model_{step:07d}.ckpt", bundle)
 

@@ -150,7 +150,10 @@ def test_async_saver_orders_writes_and_drains(tmp_path):
     saver.submit(tmp_path, "model_latest.ckpt", b1)
     saver.submit_latest_and_step(tmp_path, 100, b1)  # latest + no 50k ckpt
     saver.drain()
-    got = ckpt.load_checkpoint(tmp_path / "model_latest.ckpt", b0)
+    # latest is weights-only per the hash-log protocol (ckpt.HASH_LOG).
+    got = ckpt.load_checkpoint(
+        tmp_path / "model_latest.ckpt", ckpt.strip_hash_bits(b0)
+    )
     ref = np.asarray(b1["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(
         np.asarray(got["params"]["core"]["ConvBN_0"]["Conv_0"]["kernel"]), ref

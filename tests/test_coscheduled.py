@@ -14,6 +14,10 @@ from takzero_tpu.models.agent import new_agent
 from takzero_tpu.parallel import coordinator as co
 from takzero_tpu.utils import ckpt
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def run(tmp_path, extra):
     coscheduled.main([

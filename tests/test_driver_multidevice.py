@@ -15,6 +15,10 @@ import numpy as np
 from takzero_tpu.drivers import learn as learn_driver
 from takzero_tpu.drivers import selfplay as selfplay_driver
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _seed_targets(directory):
     """Produce a shared pile of selfplay targets for the learner."""

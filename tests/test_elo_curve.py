@@ -10,6 +10,10 @@ import json
 from takzero_tpu.drivers import coscheduled
 from takzero_tpu.tools import elo_curve
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_elo_curve_pipeline(tmp_path):
     # A tiny run with a low checkpoint cadence -> several numbered ckpts.

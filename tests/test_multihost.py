@@ -1,6 +1,7 @@
 """Multi-host helpers (single-process degenerate case)."""
 
 import jax
+import pytest
 
 from takzero_tpu.parallel.multihost import global_mesh, process_batch_slice
 
@@ -17,6 +18,7 @@ def test_global_mesh_covers_all_devices():
     assert mesh.axis_names == ("dp",)
 
 
+@pytest.mark.slow
 def test_two_process_distributed_train_step(tmp_path):
     """REAL 2-process jax.distributed: 8-device global mesh, one sharded
     train step, identical loss on both processes (slow: ~1 min)."""
