@@ -30,6 +30,7 @@ from ..parallel import coordinator as co
 from ..parallel import mesh as pm
 from ..tak import engine
 from ..train.data import make_batch, random_pretraining_targets
+from ..utils.profile import StepTrace
 from ..train.learner import (
     init_opt,
     make_optimizer,
@@ -99,6 +100,14 @@ def main(argv=None) -> None:
         "target batch sharded over a dp mesh, params/optimizer state "
         "replicated, gradient all-reduce inserted by GSPMD (the TPU-native "
         "analog of the reference's per-GPU actor fleet, SURVEY.md §2.5)",
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="write a JAX profiler (xplane) trace of the steady-state loop "
+        "to DIR: the first chunk (compilation) is skipped, the next 3 "
+        "chunks are traced (SURVEY.md §5.1)",
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -304,7 +313,9 @@ def main(argv=None) -> None:
 
     target_steps = None if args.max_steps is None else steps + args.max_steps
     model_steps = steps
+    trace = StepTrace(args.profile if coord else None, log)
     while target_steps is None or model_steps < target_steps:
+        trace.step()
         first = model_steps + 1
         using_reanalyze = (
             args.restart_targets is not None
@@ -382,6 +393,7 @@ def main(argv=None) -> None:
                 if enough_sp:
                     using_reanalyze = False
                     break
+                trace.stop()
                 for item in pending_metrics:
                     flush_metrics(item)
                 if coord:
@@ -453,6 +465,7 @@ def main(argv=None) -> None:
             )
         if coord and model_steps % cfg.steps_per_checkpoint == 0:
             saver.submit(args.directory, f"model_{model_steps:07d}.ckpt", bundle)
+    trace.stop()
     for item in pending_metrics:
         flush_metrics(item)
     # Always leave a final latest for downstream consumers (tests rely on it).

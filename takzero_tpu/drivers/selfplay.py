@@ -26,6 +26,7 @@ from ..parallel import mesh as pm
 from ..selfplay import SelfplayEngine
 from ..tak import engine
 from ..utils import ckpt
+from ..utils.profile import StepTrace
 
 log = logging.getLogger("selfplay")
 
@@ -80,6 +81,14 @@ def main(argv=None) -> None:
         default=None,
         help="append per-move root action dumps (game 0) to this file "
         "for tools/analyze_search.py",
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="write a JAX profiler (xplane) trace of the steady-state move "
+        "loop to DIR: the first move (compilation) is skipped, the next 3 "
+        "moves are traced (SURVEY.md §5.1)",
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -147,7 +156,9 @@ def main(argv=None) -> None:
         bundle = pm.replicate(mesh, bundle)
     poller = ckpt.LatestPoller(args.directory, sharding=rep)
     steps = 0
+    trace = StepTrace(args.profile if coord else None, log)
     while args.max_steps is None or steps < args.max_steps:
+        trace.step()
         steps += 1
         start = time.time()
         # Backpressure + model reload-on-change (selfplay:89-125).
@@ -202,6 +213,7 @@ def main(argv=None) -> None:
             except OSError as e:
                 log.error("cannot append to %s (%s); dumping:\n%s",
                           name, e, "\n".join(lines))
+    trace.stop()
 
 
 if __name__ == "__main__":
