@@ -7,7 +7,11 @@ wall or capstone, so a single ``tops`` plane carries piece type.
 
 This replaces the reference's external bitboard crate (fast-tak, see
 SURVEY.md §2.4) with a shape-static, vmappable representation.  Max stack
-height is 64, which is exact for board sizes 3-6 (total pieces <= 62).
+height is 64, which is exact for board sizes 3-6 (total pieces <= 62); at
+7x7/8x8 pathological stacks above 64 pieces would overflow — the same
+tradeoff as fast-tak's u64 ``Stack`` bitfield, and unreachable in
+practical play (fuzzed vs the unbounded C++ oracle in
+tests/test_oracle_fuzz.py).
 """
 
 from __future__ import annotations

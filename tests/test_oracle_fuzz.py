@@ -15,7 +15,19 @@ from takzero_tpu.tak.oracle import Oracle
 from takzero_tpu.tak.state import state_equal
 
 
-@pytest.mark.parametrize("n,half_komi", [(3, 0), (4, 4), (5, 4), (6, 4)])
+@pytest.mark.parametrize(
+    "n,half_komi",
+    [
+        (3, 0),
+        (4, 4),
+        (5, 4),
+        (6, 4),
+        # 7x7/8x8: supported with the same u64 stack-bitfield tradeoff as
+        # the reference's fast-tak Stack (slow: big action space on CPU).
+        pytest.param(7, 4, marks=pytest.mark.slow),
+        pytest.param(8, 4, marks=pytest.mark.slow),
+    ],
+)
 def test_fuzz_vs_oracle(n, half_komi):
     eng = engine(n, half_komi=half_komi)
     orc = Oracle(n, half_komi=half_komi)
@@ -24,7 +36,7 @@ def test_fuzz_vs_oracle(n, half_komi):
     result = jax.jit(eng.game_result)
 
     rng = np.random.default_rng(1234 + n)
-    games = 2 if n >= 5 else 3
+    games = 1 if n >= 7 else 2 if n >= 5 else 3
     for g in range(games):
         state = eng.initial()
         ply = 0
