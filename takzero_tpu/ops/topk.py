@@ -186,6 +186,35 @@ def exact_top_k_unsorted(x: jnp.ndarray, k: int, interpret: bool = False):
     return vals[:b], idx[:b]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "groups"))
+def exact_top_k_unsorted_grouped(x: jnp.ndarray, k: int, groups: int = 8):
+    """Exact top-k via two-stage grouped ``lax.top_k`` (pure XLA).
+
+    Split each row into `groups` contiguous chunks, take top-k per chunk,
+    then top-k over the groups*k survivors — every global top-k element
+    is necessarily in its own chunk's top-k, so the result is exact.
+    Both stages run on much smaller trailing dims than one monolithic
+    A-wide ``lax.top_k`` (A=9036 -> 1130 and groups*k), which is the
+    standard XLA trick for large-A selection.  Tie-break among exactly
+    equal boundary values may differ from ``lax.top_k``'s; the search is
+    selection-invariant under ties (see module docstring).
+    """
+    b, a = x.shape
+    assert a >= k, (a, k)
+    groups = max(1, min(groups, a // k))  # each chunk must hold >= k
+    if groups == 1:
+        return jax.lax.top_k(x, k)
+    pad = (-a) % groups
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    sub = xp.reshape(b, groups, -1)
+    v1, i1 = jax.lax.top_k(sub, k)  # [B,G,k]
+    base = jnp.arange(groups, dtype=jnp.int32)[None, :, None] * sub.shape[-1]
+    i1 = i1.astype(jnp.int32) + base
+    v2, i2 = jax.lax.top_k(v1.reshape(b, groups * k), k)
+    idx = jnp.take_along_axis(i1.reshape(b, groups * k), i2, axis=-1)
+    return v2, idx
+
+
 def exact_top_k_unsorted_reference(x: jnp.ndarray, k: int):
     """Pure-JAX fallback with identical semantics (exact tie-break).
 

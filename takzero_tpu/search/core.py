@@ -50,9 +50,10 @@ def make_topk(impl: str = "auto") -> Callable:
 
     The search kernels are child-slot-permutation-invariant, so any exact
     k-largest selection works (see ops/topk.py).  ``auto`` honors the
-    ``TAKZERO_TOPK`` env var (``lax`` | ``pallas``), defaulting to
-    ``lax.top_k`` (the Pallas radix-select is exact and TPU-validated but
-    has not yet measured faster in-loop).
+    ``TAKZERO_TOPK`` env var (``lax`` | ``pallas`` | ``grouped``),
+    defaulting to ``lax.top_k`` (the Pallas radix-select and the grouped
+    two-stage select are exact and validated but have not yet measured
+    faster in-loop).
     """
     if impl == "auto":
         impl = os.environ.get("TAKZERO_TOPK", "lax")
@@ -61,6 +62,10 @@ def make_topk(impl: str = "auto") -> Callable:
 
         interpret = jax.default_backend() != "tpu"
         return lambda x, k: exact_top_k_unsorted(x, k, interpret=interpret)
+    if impl == "grouped":
+        from ..ops.topk import exact_top_k_unsorted_grouped
+
+        return exact_top_k_unsorted_grouped
     if impl == "exact_ref":
         from ..ops.topk import exact_top_k_unsorted_reference
 

@@ -146,9 +146,10 @@ def test_search_with_pallas_topk_matches_exact_reference():
     )
 
 
-def test_search_with_unsorted_topk_matches_lax_semantics():
+@pytest.mark.parametrize("impl", ["exact_ref", "grouped"])
+def test_search_with_unsorted_topk_matches_lax_semantics(impl):
     """Search outcome (per-ACTION root visit/value stats) is identical
-    whether expansion uses sorted lax.top_k or the unsorted exact
+    whether expansion uses sorted lax.top_k or an unsorted exact
     selection — from a position where action 0 is ILLEGAL and there are
     fewer legal moves than max_children, so the unsorted impls place a -1
     filler in slot 0 (regression: Tree.root_expanded must not key on
@@ -198,7 +199,7 @@ def test_search_with_unsorted_topk_matches_lax_semantics():
 
         return go(init_tree(eng, envs, max_nodes=16, max_children=64))
 
-    got = run("exact_ref")
+    got = run(impl)
     ref = run("lax")
     assert np.asarray(got.root_expanded()).all()
     np.testing.assert_array_equal(
@@ -211,3 +212,41 @@ def test_search_with_unsorted_topk_matches_lax_semantics():
     rv, rq = per_action(ref)
     np.testing.assert_array_equal(gv, rv)
     np.testing.assert_allclose(gq, rq, atol=1e-6)
+
+
+def test_exact_topk_grouped():
+    """Grouped two-stage lax.top_k: exact selection (values multiset always;
+    index set whenever no boundary ties)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from takzero_tpu.ops.topk import (
+        exact_top_k_unsorted_grouped,
+        exact_top_k_unsorted_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    for mode in ("normal", "ties", "masked", "uneven"):
+        a = 1030 if mode != "uneven" else 9036
+        if mode == "ties":
+            x = rng.integers(0, 4, (3, a)).astype(np.float32)
+        elif mode == "masked":
+            x = np.full((3, a), -3.0e38, np.float32)
+            for i in range(3):
+                j = rng.choice(a, 20, replace=False)
+                x[i, j] = rng.standard_normal(20).astype(np.float32)
+        else:
+            x = rng.standard_normal((3, a)).astype(np.float32)
+        v, i = exact_top_k_unsorted_grouped(jnp.asarray(x), 16)
+        vr, ir = exact_top_k_unsorted_reference(jnp.asarray(x), 16)
+        v, i, vr, ir = map(np.asarray, (v, i, vr, ir))
+        for b in range(3):
+            # Selected values match the exact top-k multiset.
+            np.testing.assert_allclose(np.sort(v[b]), np.sort(vr[b]), err_msg=mode)
+            # Indices are in-bounds, unique, and point at their values.
+            assert len(set(i[b].tolist())) == 16
+            assert (i[b] >= 0).all() and (i[b] < a).all()
+            np.testing.assert_allclose(x[b][i[b]], v[b], err_msg=mode)
+            if mode != "ties":
+                np.testing.assert_array_equal(np.sort(i[b]), ir[b], err_msg=mode)
