@@ -8,7 +8,10 @@ wtime/btime/winc/binc/movetime/nodes/infinite, ``stop``, ``quit``.
 Search runs in chunks of simulations on a single root (PUCT with the
 exact solver, beta=0), printing ``info`` lines (time, nodes, nps, score
 cp / mate, pv) between chunks; time budget = remaining/10 + 3*increment/4
-(tei/src/main.rs:241-243).
+(tei/src/main.rs:241-243).  A stdin-reader thread feeds a command queue
+so ``stop``/``isready`` reach an in-flight search between chunks (the
+reference's stdin thread + AtomicBool, tei/src/main.rs:113-134); other
+commands arriving mid-search are deferred in order.
 
 Usage:  python -m takzero_tpu.drivers.tei [--net net6_simhash] [--model CKPT]
 """
@@ -17,7 +20,9 @@ from __future__ import annotations
 
 import argparse
 import math
+import queue
 import sys
+import threading
 import time
 
 import jax
@@ -39,10 +44,14 @@ PV_LEN = 12
 
 
 class TeiEngine:
-    def __init__(self, net: str, model_path: str | None, out=sys.stdout):
+    def __init__(
+        self, net: str, model_path: str | None, out=sys.stdout, commands=None
+    ):
         self.net_name = net
         self.model_path = model_path
         self.out = out
+        self.commands = commands  # queue.Queue fed by the stdin thread
+        self.pending: list[str] = []  # commands deferred during a search
         self.cfg = NET_PRESETS[net]
         self.eng = engine(self.cfg.n, half_komi=self.cfg.half_komi)
         self.bundle = None
@@ -197,26 +206,63 @@ class TeiEngine:
             )
         start = time.time()
         nodes = 0
+        solved = False
+        infinite = bool(opts.get("infinite"))
         while True:
-            tree = self._run(tree, self.bundle)
-            # ONE host transfer per chunk carries the solve state, root
-            # eval, and the device-computed PV (and, being a transfer
-            # rather than block_until_ready, awaits remote backends so
-            # the reported nps stays honest).
-            pk = np.asarray(self._info_pack(tree))
-            nodes += SIM_CHUNK
-            elapsed = time.time() - start
-            self._info(pk, nodes, elapsed)
-            if opts.get("infinite"):
+            if solved and infinite:
+                # Root proven: under `infinite`, bestmove may only follow
+                # `stop` — idle-poll instead of burning simulations.
+                time.sleep(0.05)
+            else:
+                tree = self._run(tree, self.bundle)
+                # ONE host transfer per chunk carries the solve state, root
+                # eval, and the device-computed PV (and, being a transfer
+                # rather than block_until_ready, awaits remote backends so
+                # the reported nps stays honest).
+                pk = np.asarray(self._info_pack(tree))
+                nodes += SIM_CHUNK
+                self._info(pk, nodes, time.time() - start)
+                solved = int(pk[0]) != ev.VALUE
+            if self._poll_commands() is not None:
+                break  # stop (quit re-queued for the main loop)
+            if infinite:
                 continue
-            if elapsed >= budget_s or nodes >= max_nodes:
+            if time.time() - start >= budget_s or nodes >= max_nodes or solved:
                 break
-            if int(pk[0]) != ev.VALUE:
-                break  # solved
         slot = select_best_slot(tree)
         action = int(np.asarray(slot_action(tree, slot))[0])
         self.tree = tree  # keep for descend on the next position command
         self.send(f"bestmove {action_to_ptn(self.cfg.n, action)}")
+
+    def _poll_commands(self) -> str | None:
+        """Drain stdin lines that arrived mid-search (the reference's
+        stdin-reader thread + AtomicBool, tei/src/main.rs:113-134).
+
+        ``isready`` is answered immediately; ``stop``/``quit`` with no
+        deferred commands ahead of it interrupts the CURRENT search (a
+        quit is re-queued so the main loop exits after bestmove); any
+        other command is deferred in arrival order — so a piped script
+        ``go ... go ... quit`` still runs both searches to completion.
+        """
+        if self.commands is None:
+            return None
+        while True:
+            try:
+                line = self.commands.get_nowait()
+            except queue.Empty:
+                return None
+            line = "quit" if line is None else line.strip()  # None = EOF
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "isready":
+                self.send("readyok")
+            elif parts[0] in ("stop", "quit") and not self.pending:
+                if parts[0] == "quit":
+                    self.pending.append("quit")
+                return parts[0]
+            else:
+                self.pending.append(line)
 
     def _info(self, pk: np.ndarray, nodes, elapsed):
         flag = int(pk[0])
@@ -272,6 +318,8 @@ class TeiEngine:
             self.cmd_position(rest)
         elif cmd == "go":
             self.cmd_go(rest)
+        elif cmd == "stop":
+            pass  # no search in flight: nothing to stop
         elif cmd == "quit":
             return False
         return True
@@ -282,9 +330,21 @@ def main(argv=None) -> None:
     parser.add_argument("--net", default="net6_simhash", choices=NET_PRESETS)
     parser.add_argument("--model", default=None)
     args = parser.parse_args(argv)
-    eng = TeiEngine(args.net, args.model)
-    for line in sys.stdin:
-        if not eng.handle(line):
+
+    # stdin-reader thread feeding a queue, so `stop`/`isready` reach an
+    # in-flight search (reference tei/src/main.rs:113-134).
+    q: queue.Queue = queue.Queue()
+
+    def reader():
+        for line in sys.stdin:
+            q.put(line)
+        q.put(None)  # EOF
+
+    threading.Thread(target=reader, daemon=True).start()
+    eng = TeiEngine(args.net, args.model, commands=q)
+    while True:
+        line = eng.pending.pop(0) if eng.pending else q.get()
+        if line is None or not eng.handle(line):
             break
 
 
