@@ -306,6 +306,17 @@ class TeiEngine:
             if name.lower() == "model":
                 self.model_path = value
                 self.bundle = None
+            elif name.lower() == "halfkomi":
+                import dataclasses
+
+                self.cfg = dataclasses.replace(
+                    self.cfg, half_komi=int(value)
+                )
+                self.eng = engine(self.cfg.n, half_komi=self.cfg.half_komi)
+                self.bundle = None  # jitted kernels close over the engine
+                self.position = None
+                self.tree = None
+                self.tree_history = None
         elif cmd == "isready":
             self.ensure_ready()
             self.send("readyok")

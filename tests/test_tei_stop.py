@@ -47,3 +47,13 @@ def test_isready_answered_mid_search_and_commands_deferred():
     # nodes budget (one chunk), not the quit, ended the search.
     assert int(e.tree.root_visit[0]) >= 128
     assert e.pending == ["position startpos moves a3 c1 b2", "quit"]
+
+
+def test_setoption_halfkomi_rebuilds_engine():
+    e, q, out = _engine()
+    e.handle("setoption name HalfKomi value 4")
+    assert e.eng.half_komi == 4
+    e.handle("isready")
+    e.handle("position startpos moves a3 c1")
+    e.handle("go nodes 128 movetime 60000")
+    assert out.getvalue().splitlines()[-1].startswith("bestmove ")
