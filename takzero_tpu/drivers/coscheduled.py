@@ -120,30 +120,19 @@ def main(argv=None) -> None:
     hash_logged = net_cfg.novelty in ("simhash", "lcghash")
     idx_fn = None
     if hash_logged:
-        from ..models.agent import hash_indices
+        from ..models.agent import hash_indices_fresh
 
-        idx_fn = jax.jit(lambda b, p: hash_indices(net_cfg, b, p))
+        # Pre-step (indices, fresh) pairs; only newly set bits reach the
+        # log (ckpt.fresh_indices) so hash_log.bin stays bounded.
+        idx_fn = jax.jit(lambda b, p: hash_indices_fresh(net_cfg, b, p))
 
     bundle = new_agent(net_cfg, seed=args.seed)
     opt_state = init_opt(net_cfg, tx, bundle)
-    resume = ckpt.model_path_with_most_steps(args.directory)
-    if resume is not None:
-        steps, path = resume
-        log.info("resuming from %s at step %d", path, steps)
-        bundle = ckpt.load_checkpoint(path, bundle)
-        if hash_logged:
-            # A crash window can leave hash_log.bin behind the resumed
-            # checkpoint's embedded bitset (log appends are deferred to the
-            # save cadence); re-append the difference so external pollers
-            # replaying the log reconstruct the full set (same recovery as
-            # drivers/learn.py).
-            missing = ckpt.reconcile_hash_log(
-                args.directory, np.asarray(bundle["hash_bits"])
-            )
-            if missing:
-                log.info("hash log reconciled: %d bits re-appended", missing)
-    else:
-        steps = 0
+    bundle, steps = ckpt.resume_with_hash_log(
+        args.directory, bundle, log, reconcile=hash_logged
+    )
+    if steps == 0:
+        # Fresh init (or idempotent rewrite when resuming from step 0).
         ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
     if mesh is not None:
         # Replicated over the mesh: every train-step update lands in this
@@ -202,7 +191,9 @@ def main(argv=None) -> None:
                 # track the bitset embedded in immutable checkpoints.
                 ckpt.append_hash_indices(
                     args.directory,
-                    np.concatenate([np.asarray(i) for i in trained_lines]),
+                    np.concatenate(
+                        [ckpt.fresh_indices(i, f) for i, f in trained_lines]
+                    ),
                 )
                 trained_lines.clear()
             if at_save:
@@ -223,7 +214,7 @@ def main(argv=None) -> None:
     if trained_lines:
         ckpt.append_hash_indices(
             args.directory,
-            np.concatenate([np.asarray(i) for i in trained_lines]),
+            np.concatenate([ckpt.fresh_indices(i, f) for i, f in trained_lines]),
         )
     saver.submit(
         args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)

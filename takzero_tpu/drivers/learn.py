@@ -181,10 +181,15 @@ def main(argv=None) -> None:
     # so they match the in-graph hash_update bit-exactly.
     hash_logged = net_cfg.novelty in ("simhash", "lcghash")
     if hash_logged:
-        from ..models.agent import hash_indices
+        from ..models.agent import hash_indices_fresh
 
+        # (indices, fresh-mask) against the PRE-step bitset: only bits the
+        # coming train step newly sets reach the log (ckpt.fresh_indices),
+        # keeping hash_log.bin bounded by distinct positions.
         idx_fn = jax.jit(
-            lambda b, p: hash_indices(net_cfg, b, p.reshape((-1,) + p.shape[-3:])),
+            lambda b, p: hash_indices_fresh(
+                net_cfg, b, p.reshape((-1,) + p.shape[-3:])
+            ),
             **({} if rep_sharding is None else {"out_shardings": rep_sharding}),
         )
     else:
@@ -192,15 +197,11 @@ def main(argv=None) -> None:
 
     bundle = new_agent(net_cfg, seed=args.seed)
     opt_state = init_opt(net_cfg, tx, bundle)
-    resume = ckpt.model_path_with_most_steps(args.directory)
-    if resume is not None:
-        steps, path = resume
-        log.info("resuming from %s at step %d", path, steps)
-        bundle = ckpt.load_checkpoint(path, bundle)
-    else:
-        steps = 0
-        if coord:
-            ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
+    bundle, steps = ckpt.resume_with_hash_log(
+        args.directory, bundle, log, reconcile=hash_logged and coord
+    )
+    if steps == 0 and coord:
+        ckpt.save_checkpoint(args.directory, "model_0000000.ckpt", bundle)
     bundle = place_replicated(bundle)
     opt_state = place_replicated(opt_state)
 
@@ -245,18 +246,9 @@ def main(argv=None) -> None:
 
     if boot_idx and coord:
         ckpt.append_hash_indices(
-            args.directory, np.concatenate([np.asarray(i) for i in boot_idx])
+            args.directory,
+            np.concatenate([ckpt.fresh_indices(i, f) for i, f in boot_idx]),
         )
-    if hash_logged and resume is not None and coord:
-        # A crash can leave the log behind the resumed checkpoint's bitset
-        # (log appends are deferred one chunk); re-append the difference so
-        # actors reconstruct the full set.
-        missing = ckpt.reconcile_hash_log(
-            args.directory, np.asarray(bundle["hash_bits"])
-        )
-        if missing:
-            log.info("hash log reconciled: %d bits re-appended", missing)
-
     if coord:
         ckpt.save_checkpoint(
             args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
@@ -297,7 +289,9 @@ def main(argv=None) -> None:
         if not coord:
             return
         if chunk_idx is not None:
-            ckpt.append_hash_indices(args.directory, np.asarray(chunk_idx))
+            ckpt.append_hash_indices(
+                args.directory, ckpt.fresh_indices(*chunk_idx)
+            )
         m_host = jax.tree.map(np.asarray, metrics)
         jsonl = []
         for i in range(c):

@@ -161,9 +161,7 @@ def main(argv=None) -> None:
         steps += 1
         max_wait = None if args.max_steps is None else 0.0
         if multi:
-            from .selfplay import _coordinated_backpressure
-
-            _coordinated_backpressure(
+            co.coordinated_backpressure(
                 multi, coord, args.directory, cfg.max_reanalyze_buffer, 1,
                 max_wait,
             )

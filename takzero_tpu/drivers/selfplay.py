@@ -31,27 +31,6 @@ from ..utils.profile import StepTrace
 log = logging.getLogger("selfplay")
 
 
-def _coordinated_backpressure(
-    multi, coord, directory, max_buffer, which, max_wait
-):
-    """Multihost-safe backpressure: per-process file polling can diverge
-    (stale attribute caches, races with the learner's write) and strand
-    one process in a sleep loop while its peers block inside the
-    collective step — so the coordinator decides and everyone follows
-    via short per-second collectives (never one long blocking one)."""
-    waited = 0.0
-    while True:
-        clear = True
-        if coord:
-            clear = not co.backpressure_hit(directory, max_buffer, which)
-        if bool(multi.broadcast_scalar(clear)):
-            return
-        time.sleep(1.0)
-        waited += 1.0
-        if max_wait is not None and waited >= max_wait:
-            return
-
-
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--directory", required=True)
@@ -164,7 +143,7 @@ def main(argv=None) -> None:
         # Backpressure + model reload-on-change (selfplay:89-125).
         max_wait = None if args.max_steps is None else 0.0
         if multi:
-            _coordinated_backpressure(
+            co.coordinated_backpressure(
                 multi, coord, args.directory, MAX_SELFPLAY_BUFFER_LEN, 0,
                 max_wait,
             )

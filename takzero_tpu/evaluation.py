@@ -79,14 +79,14 @@ def make_compete(
         )
         tk = jnp.where(frozen, 0, terminal_b(nxt))
         if tree_reuse:
-            my2, ok_m = descend_batch(tree, slot, min_headroom=search_budget)
+            my2, ok_m = descend_batch(tree, slot, min_headroom=search_budget + 1)
             my_out = reset_lanes(my2, frozen | ~ok_m, nxt)
             # The opponent's tree indexes children by its own slot layout:
             # locate the played action there before descending.
             hit = opp_tree.child_action[:, 0, :] == action[:, None]
             opp_slot = jnp.argmax(hit, axis=1).astype(jnp.int32)
             opp2, ok_o = descend_batch(
-                opp_tree, opp_slot, min_headroom=search_budget
+                opp_tree, opp_slot, min_headroom=search_budget + 1
             )
             ok_o = ok_o & jnp.any(hit, axis=1)
             opp_out = reset_lanes(opp2, frozen | ~ok_o, nxt)

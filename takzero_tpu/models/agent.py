@@ -156,6 +156,19 @@ def hash_update(cfg: NetConfig, bundle, planes):
     return {**bundle, "hash_bits": bs.bitset_set(bundle["hash_bits"], idx)}
 
 
+def hash_indices_fresh(cfg: NetConfig, bundle, planes):
+    """(uint32[B] indices, bool[B] fresh): fresh bits are NOT yet set in
+    ``bundle["hash_bits"]``.  Hash-log producers (drivers/learn.py,
+    drivers/coscheduled.py) call this on the PRE-update bundle — the
+    train step's in-graph ``hash_update`` sets the same bits right after
+    — and append only the fresh ones, so ``hash_log.bin`` is bounded by
+    the number of distinct bits ever set instead of growing with every
+    trained position (forced uses alone would duplicate each target
+    >=4x; see utils/ckpt.py fresh_indices)."""
+    idx = hash_indices(cfg, bundle, planes)
+    return idx, ~bs.bitset_query(bundle["hash_bits"], idx)
+
+
 def rnd_raw(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
     return RndPair(cfg).apply(
         {"params": bundle["rnd_params"], "batch_stats": bundle["rnd_batch_stats"]},

@@ -118,6 +118,29 @@ def backpressure_hit(directory, max_buffer: int, which: int = 0) -> bool:
     return lengths is not None and lengths[which] > max_buffer
 
 
+def coordinated_backpressure(
+    multi, coord: bool, directory, max_buffer: int, which: int = 0,
+    max_wait: float | None = None,
+) -> None:
+    """Multihost-safe backpressure: per-process file polling can diverge
+    (stale attribute caches, races with the learner's write) and strand
+    one process in a sleep loop while its peers block inside the
+    collective step — so the coordinator decides and everyone follows
+    via short per-second collectives (never one long blocking one).
+    ``multi`` is the parallel.multihost module (broadcast_scalar)."""
+    waited = 0.0
+    while True:
+        clear = True
+        if coord:
+            clear = not backpressure_hit(directory, max_buffer, which)
+        if bool(multi.broadcast_scalar(clear)):
+            return
+        time.sleep(1.0)
+        waited += 1.0
+        if max_wait is not None and waited >= max_wait:
+            return
+
+
 def wait_for_backpressure(
     directory, max_buffer: int, which: int = 0, poll_seconds: float = 1.0,
     max_wait: float | None = None,

@@ -60,8 +60,9 @@ def make_serve_chunk(
 ):
     """Build `serve_chunk(tree, beta) -> Tree` running k simulations.
 
-    Precondition: all roots expanded (run one plain `simulate` on a fresh
-    tree first, as the TEI driver does).
+    Lanes whose root is expanded run k simulations each (run one plain
+    `simulate` on a fresh tree first, as the TEI driver does); lanes
+    with an unexpanded root (e.g. a terminal position) are no-ops.
     """
     from .core import make_topk
 
@@ -84,12 +85,20 @@ def make_serve_chunk(
         zk_f = jnp.zeros((b, K), jnp.float32)
         zk_b = jnp.zeros((b, K), bool)
 
+        # A lane whose root was never expanded (terminal position, or a
+        # `go` before any plain simulate) has no edges to descend: an
+        # all-(-1) child row would make every path fabricate a leaf at
+        # (node 0, slot 0), step the terminal env with action 0, and
+        # expand a node from the garbage state.  Gate such lanes off
+        # entirely (core.py's kernels gate the same way via root_unexp).
+        root_ok = jnp.any(tree.child_action[:, 0, :] >= 0, axis=-1)  # [B]
+
         # ------------------------------------------------------------------
         # Phase A: pipelined forward descent.
         # ------------------------------------------------------------------
         init = dict(
             child_visit=tree.child_visit,
-            alive=jnp.ones((b, K), bool),
+            alive=jnp.broadcast_to(root_ok[:, None], (b, K)),
             cur=zk_i,
             cur_flag=jnp.broadcast_to(tree.root_flag[:, None], (b, K)),
             # Path k's root-level parent count: initial visits + the k+1
@@ -200,7 +209,7 @@ def make_serve_chunk(
         st = jax.lax.fori_loop(0, K + max_depth, fwd_body, init)
         tree = tree._replace(
             child_visit=st["child_visit"],
-            root_visit=tree.root_visit + K,
+            root_visit=tree.root_visit + K * root_ok.astype(jnp.int32),
             overflow=tree.overflow + st["clip_count"],
         )
 

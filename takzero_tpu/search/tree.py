@@ -258,10 +258,12 @@ def descend_batch(tree: Tree, slot, min_headroom: int = 0):
     ``min_headroom`` keeps reuse sound with a fixed pool: carried
     subtrees otherwise accumulate across moves (the reference
     heap-allocates, node/mod.rs:95-102) until expansion hits the
-    pool-full guard mid-search and quality silently degrades.  Each
-    simulation allocates at most one node, so a lane that descends with
-    ``k + budget <= max_nodes`` can never saturate during the next
-    search; callers pass ``min_headroom=search_budget``.
+    pool-full guard mid-search and quality silently degrades.  A
+    Gumbel-SH move runs ``budget + 1`` simulations (the root-init
+    simulate plus the scheduled budget, gumbel.py:83+125), each
+    allocating at most one node, so a lane that descends with
+    ``k + budget + 1 <= max_nodes`` can never saturate during the next
+    search; callers pass ``min_headroom=search_budget + 1``.
     """
     b, m, c = tree.child_action.shape
     bar = jnp.arange(b)

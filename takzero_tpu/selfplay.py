@@ -149,7 +149,7 @@ class SelfplayEngine:
                 # choices, and subtrees too large to leave a full budget
                 # of expansion headroom restart from fresh/stepped roots.
                 tree2, ok = descend_batch(
-                    tree, slot, min_headroom=cfg.search_budget
+                    tree, slot, min_headroom=cfg.search_budget + 1
                 )
                 tree_out = reset_lanes(tree2, done | ~ok, nxt)
             else:

@@ -49,6 +49,19 @@ def strip_hash_bits(bundle):
     return bundle
 
 
+def fresh_indices(idx, fresh) -> np.ndarray:
+    """Host-side compress of a (indices, fresh-mask) pair from
+    ``models.agent.hash_indices_fresh``: keep only bits newly set by this
+    batch, deduplicated.  Bounds ``hash_log.bin`` at the number of
+    DISTINCT bits ever set — appending raw per-position indices would
+    grow the log without bound (every forced reuse and cross-epoch
+    repeat re-logs the same bit) until replaying it costs more than the
+    wholesale bitset ship it replaces."""
+    idx = np.asarray(idx).ravel()
+    fresh = np.asarray(fresh).ravel()
+    return np.unique(idx[fresh]).astype("<u4")
+
+
 def append_hash_indices(directory, idx) -> None:
     """Append uint32 bit indices to the hash log (single atomic write)."""
     arr = np.ascontiguousarray(np.asarray(idx).ravel(), dtype="<u4")
@@ -167,6 +180,30 @@ def load_checkpoint_partial(path, template):
     return serialization.from_state_dict(template, merged)
 
 
+def resume_with_hash_log(directory, bundle, log, reconcile: bool):
+    """Shared learner resume protocol (drivers/learn.py, drivers/
+    coscheduled.py — two producers of the same files must not diverge):
+    load the highest-step checkpoint into `bundle` and, with
+    ``reconcile`` (hash-logged net AND this process owns file writes),
+    re-append any bitset bits missing from ``hash_log.bin`` — a crash
+    window can leave the deferred log behind the checkpointed bitset,
+    and actors would otherwise miss those bits forever.
+
+    Returns ``(bundle, steps)``; ``steps == 0`` means fresh init (the
+    caller writes ``model_0000000.ckpt``)."""
+    resume = model_path_with_most_steps(directory)
+    if resume is None:
+        return bundle, 0
+    steps, path = resume
+    log.info("resuming from %s at step %d", path, steps)
+    bundle = load_checkpoint(path, bundle)
+    if reconcile:
+        missing = reconcile_hash_log(directory, np.asarray(bundle["hash_bits"]))
+        if missing:
+            log.info("hash log reconciled: %d bits re-appended", missing)
+    return bundle, steps
+
+
 def model_path_with_most_steps(directory):
     """(step, path) of the highest-numbered checkpoint, or None."""
     directory = pathlib.Path(directory)
@@ -250,11 +287,29 @@ class LatestPoller:
             return bundle, hash_changed
         try:
             # Partial load: a weights-only latest keeps the current
-            # (device-resident) bitset leaf from the template.
+            # (device-resident) bitset leaf from the template.  Re-placing
+            # that leaf would round-trip the ~512 MiB bitset through host
+            # numpy on every reload in multihost mode (mesh.place fetches
+            # with np.asarray) — exactly what the hash-log protocol
+            # exists to avoid — so place only the loaded weights and
+            # reattach the existing bitset array untouched.
             loaded = load_checkpoint_partial(self._path, bundle)
+            keep_bits = None
+            if (
+                isinstance(loaded, dict)
+                and "hash_bits" in loaded
+                and loaded["hash_bits"] is bundle.get("hash_bits")
+            ):
+                # Identity with the template leaf means the file was
+                # weights-only; a full-bundle latest (older writer) loads
+                # a fresh host array and is placed like any other leaf.
+                keep_bits = loaded["hash_bits"]
+                loaded = strip_hash_bits(loaded)
             bundle = jax.tree.map(
                 lambda x: _place(x, self._sharding), loaded
             )
+            if keep_bits is not None:
+                bundle = {**bundle, "hash_bits": keep_bits}
         except Exception as e:  # torn read: keep the old weights
             if log is not None:
                 log.warning("cannot load model (%s), keeping current", e)

@@ -151,3 +151,14 @@ def test_tailer_detects_equal_or_longer_rewrite(tmp_path):
     # Appends still flow.
     co.append_lines(d, co.TARGETS_SELFPLAY, ["tail"])
     assert tail.read_new_lines() == ["tail"]
+
+
+def test_devices_requested_parses_both_flag_forms():
+    from takzero_tpu.drivers import _devices_requested
+
+    assert _devices_requested(["x", "--devices", "4"]) == 4
+    assert _devices_requested(["x", "--devices=8"]) == 8
+    assert _devices_requested(["x", "--devices", "2", "--devices=6"]) == 6  # last wins
+    assert _devices_requested(["x"]) is None
+    assert _devices_requested(["x", "--devices"]) is None  # malformed: argparse reports
+    assert _devices_requested(["x", "--devices=abc"]) is None

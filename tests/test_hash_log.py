@@ -106,3 +106,45 @@ def test_learn_driver_streams_hash_log(tmp_path):
     assert idx.size > 0
     replay = bitset_set(bitset_init(TINY.hash_bits), idx.astype(np.uint32))
     np.testing.assert_array_equal(np.asarray(replay), np.asarray(full["hash_bits"]))
+
+
+def test_fresh_indices_bound_the_log(tmp_path):
+    """Producers log only newly set bits: retraining the same positions
+    appends nothing, so hash_log.bin is bounded by distinct bits."""
+    from takzero_tpu.models.agent import hash_indices_fresh, hash_update
+    from takzero_tpu.tak import engine as make_engine
+    from takzero_tpu.eee.harness import random_plane_batch
+
+    eng = make_engine(TINY.n, half_komi=TINY.half_komi)
+    bundle = new_agent(TINY, seed=0)
+    planes = random_plane_batch(eng, jax.random.PRNGKey(0), 4, 16)
+
+    idx, fresh = hash_indices_fresh(TINY, bundle, planes)
+    first = ckpt.fresh_indices(idx, fresh)
+    assert first.size > 0
+    assert np.unique(first).size == first.size  # deduped within a batch
+
+    bundle = hash_update(TINY, bundle, planes)  # the train step's set
+    idx2, fresh2 = hash_indices_fresh(TINY, bundle, planes)
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(idx))
+    assert ckpt.fresh_indices(idx2, fresh2).size == 0  # nothing new to log
+
+    # Replaying the (bounded) log still reconstructs the bitset exactly.
+    ckpt.append_hash_indices(tmp_path, first)
+    got, _ = ckpt.read_hash_indices(tmp_path / ckpt.HASH_LOG, 0)
+    replay = bitset_set(bitset_init(TINY.hash_bits), got.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(replay), np.asarray(bundle["hash_bits"]))
+
+
+def test_poller_reload_keeps_bitset_device_resident(tmp_path):
+    """A weights-only reload must not re-place the bitset leaf: in
+    multihost mode that would round-trip ~512 MiB through host numpy on
+    every model change (the exact cost the hash-log protocol removes)."""
+    b0 = new_agent(TINY, seed=0)
+    b1 = new_agent(TINY, seed=1)
+    ckpt.save_checkpoint(tmp_path, "model_latest.ckpt", ckpt.strip_hash_bits(b1))
+    poller = ckpt.LatestPoller(tmp_path)
+    bits_before = b0["hash_bits"]
+    bundle, reloaded = poller.reload_if_changed(b0)
+    assert reloaded
+    assert bundle["hash_bits"] is bits_before  # same device array, untouched

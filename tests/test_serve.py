@@ -129,3 +129,24 @@ def test_serve_proves_tinue():
     flags = np.asarray(tree.child_flag[0, 0])
     losing = {int(a) for a, f in zip(acts, flags) if a >= 0 and f == ev.LOSS}
     assert ptn_to_action(3, "b1") in losing
+
+
+def test_unexpanded_root_is_noop():
+    """A lane whose root was never expanded (e.g. a terminal position —
+    `go` before any plain simulate) must not fabricate leaves: no visit,
+    node, or edge writes."""
+    eng = engine(3)
+    serve = jax.jit(make_serve_chunk(eng, dummy_evaluator(eng), 7, max_depth=16))
+    envs = _root_env(eng, ["a3", "c1"], batch=2)
+    tree = init_tree(eng, envs, max_nodes=32, max_children=48)
+    out = serve(tree, jnp.zeros(2))
+    np.testing.assert_array_equal(np.asarray(out.root_visit), np.asarray(tree.root_visit))
+    np.testing.assert_array_equal(np.asarray(out.node_count), np.asarray(tree.node_count))
+    np.testing.assert_array_equal(np.asarray(out.overflow), np.asarray(tree.overflow))
+    # Real (non-scratch) rows untouched.
+    np.testing.assert_array_equal(
+        np.asarray(out.child_action[:, :-1]), np.asarray(tree.child_action[:, :-1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.child_visit[:, :-1]), np.asarray(tree.child_visit[:, :-1])
+    )
