@@ -50,20 +50,32 @@ def make_compete(
     search_budget: int = 768,
     max_children: int = 128,
     max_depth: int = 48,
-    tree_reuse: bool = True,
+    tree_reuse: bool | tuple[bool, bool] = True,
 ):
-    """Build `compete(bundle_white, bundle_black, envs, key) -> Evaluation`."""
-    max_nodes = search_budget + 8 + (search_budget if tree_reuse else 0)
+    """Build `compete(bundle_white, bundle_black, envs, key) -> Evaluation`.
+
+    ``tree_reuse`` may be a single bool (both agents) or a
+    ``(white, black)`` pair — the asymmetric form pits carried-subtree
+    search against fresh-tree search at equal budget, measuring what
+    reuse is worth (reference keeps subtrees in both selfplay and the
+    pit fighter, node/batched.rs:139, evaluation/src/main.rs:236-299).
+    """
+    reuse_w, reuse_b = (
+        tree_reuse if isinstance(tree_reuse, tuple) else (tree_reuse, tree_reuse)
+    )
+    any_reuse = reuse_w or reuse_b
+    max_nodes = search_budget + 8 + (search_budget if any_reuse else 0)
     step_b = jax.vmap(eng.step)
     terminal_b = jax.vmap(eng.terminal_kind)
 
-    def half_move(envs, bundle, key, frozen, my_tree, opp_tree):
+    def half_move(envs, bundle, key, frozen, my_tree, opp_tree,
+                  my_reuse, opp_reuse):
         evaluator = lambda e: evaluator_factory(bundle, e)  # noqa: E731
         search = make_gumbel_search(
             eng, evaluator, sampled_actions, search_budget, max_depth
         )
         b = envs.ply.shape[0]
-        if not tree_reuse:
+        if not my_reuse:
             my_tree = init_tree(eng, envs, max_nodes, max_children)
         tree, slot = search(my_tree, key, jnp.zeros(b))
         action = slot_action(tree, slot).clip(0)
@@ -78,9 +90,12 @@ def make_compete(
             stepped,
         )
         tk = jnp.where(frozen, 0, terminal_b(nxt))
-        if tree_reuse:
+        if my_reuse:
             my2, ok_m = descend_batch(tree, slot, min_headroom=search_budget + 1)
             my_out = reset_lanes(my2, frozen | ~ok_m, nxt)
+        else:
+            my_out = tree
+        if opp_reuse:
             # The opponent's tree indexes children by its own slot layout:
             # locate the played action there before descending.
             hit = opp_tree.child_action[:, 0, :] == action[:, None]
@@ -91,10 +106,10 @@ def make_compete(
             ok_o = ok_o & jnp.any(hit, axis=1)
             opp_out = reset_lanes(opp2, frozen | ~ok_o, nxt)
         else:
-            my_out, opp_out = tree, opp_tree
+            opp_out = opp_tree
         return nxt, tk, my_out, opp_out
 
-    half_move_jit = jax.jit(half_move)
+    half_move_jit = jax.jit(half_move, static_argnames=("my_reuse", "opp_reuse"))
 
     def compete(bundle_white, bundle_black, envs, key, max_moves: int = 200):
         b = int(envs.ply.shape[0])
@@ -109,9 +124,13 @@ def make_compete(
             is_white = move % 2 == 0
             bundle = bundle_white if is_white else bundle_black
             my, opp = (tree_w, tree_b) if is_white else (tree_b, tree_w)
+            my_reuse, opp_reuse = (
+                (reuse_w, reuse_b) if is_white else (reuse_b, reuse_w)
+            )
             key, k = jax.random.split(key)
             cur, tk, my, opp = half_move_jit(
-                cur, bundle, k, jnp.asarray(done), my, opp
+                cur, bundle, k, jnp.asarray(done), my, opp,
+                my_reuse=my_reuse, opp_reuse=opp_reuse,
             )
             tree_w, tree_b = (my, opp) if is_white else (opp, my)
             tk = np.asarray(tk)

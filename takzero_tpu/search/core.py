@@ -208,17 +208,20 @@ def make_kernels(
 
         st = jax.lax.while_loop(cond, body, init)
 
-        # Depth-clipped lanes: back up the current node's own eval.
+        # Depth-clipped lanes: back up the current node's own eval — flag,
+        # value AND ply from its parent edge (a clipped node can be solved,
+        # e.g. descent continues through solved-expanded nodes; zeroing the
+        # ply would drop the gamma^ply discount the reference applies to
+        # proven results, eval.rs:95-105).
         clipped = st["active"]
         stop_known = st["stop_known"] | clipped
         known_f = jnp.where(clipped, st["cur_flag"], st["known_f"])
-        known_p = jnp.where(clipped, jnp.int32(0), st["known_p"])
+        clip_parent = tree.node_parent[bar, st["cur"]].clip(0)
+        clip_slot = tree.node_slot[bar, st["cur"]].clip(0)
+        clip_ply = tree.child_ply[bar, clip_parent, clip_slot]
+        known_p = jnp.where(clipped, clip_ply, st["known_p"])
         # For an unsolved clipped node, back up its mean value.
-        clip_val = tree.child_value[
-            bar,
-            tree.node_parent[bar, st["cur"]].clip(0),
-            tree.node_slot[bar, st["cur"]].clip(0),
-        ]
+        clip_val = tree.child_value[bar, clip_parent, clip_slot]
         known_v = jnp.where(clipped, clip_val, st["known_v"])
         length = jnp.where(clipped, max_depth, st["length"])
         stop_leaf = st["stop_leaf"]

@@ -37,7 +37,10 @@ def sh_schedule(sampled_actions: int, budget: int):
     """Static per-simulation schedule: (rank, alive, halve, cum_visits)."""
     k = sampled_actions
     steps = k.bit_length() - 1
-    assert k > 0 and (k & (k - 1)) == 0, "sampled_actions must be a power of 2"
+    assert k >= 2 and (k & (k - 1)) == 0, (
+        "sampled_actions must be a power of 2, at least 2"
+    )
+    assert budget > 0, "budget must be positive"
     assert budget % (steps * k) == 0, "budget must divide k*log2(k) evenly"
     vps = budget // steps
     ranks, alive, halve, cums = [], [], [], []

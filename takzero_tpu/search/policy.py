@@ -73,9 +73,11 @@ def ube_target(tree: Tree, beta) -> jnp.ndarray:
 
 
 def uct_scores(tree: Tree, node_visit, beta) -> jnp.ndarray:
-    """Classic UCT scores over root child slots (policy.rs:104-117): the
-    reference's declared-but-unused alternative to PUCT; kept for search
-    experiments (tools/analyze_search.py compares selection formulas)."""
+    """Classic UCT scores over root child slots, mirroring the
+    reference's declared-but-unused `select_with_uct` (policy.rs:104-117):
+    ``q + C*sqrt(ln(N)/n) + beta*std`` with ``EXPLORATION_COEFFICIENT=1``
+    (policy.rs:158-164) and win-children pruned unless the node is a
+    proven loss (policy.rs:109)."""
     ch = root_children(tree)
     valid = ch["action"] >= 0
     q = ev.negated_float(ch["flag"], ch["ply"], ch["value"])
@@ -83,10 +85,13 @@ def uct_scores(tree: Tree, node_visit, beta) -> jnp.ndarray:
     if nv.ndim == 1:
         nv = nv[:, None]
     u = jnp.sqrt(
-        2.0 * jnp.log(nv) / jnp.maximum(ch["visit"].astype(jnp.float32), 1e-9)
+        jnp.log(nv) / jnp.maximum(ch["visit"].astype(jnp.float32), 1e-9)
     )
     beta = jnp.broadcast_to(jnp.asarray(beta, jnp.float32), (q.shape[0],))
-    return jnp.where(valid, q + u + beta[:, None] * ch["std"], -jnp.inf)
+    pruned = (ch["flag"] == ev.WIN) & (tree.root_flag != ev.LOSS)[:, None]
+    return jnp.where(
+        valid & ~pruned, q + u + beta[:, None] * ch["std"], -jnp.inf
+    )
 
 
 def select_best_slot(tree: Tree) -> jnp.ndarray:

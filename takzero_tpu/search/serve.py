@@ -191,11 +191,13 @@ def make_serve_chunk(
                 length=jnp.where(stopped, d + 1, st["length"]),
                 stop_known=st["stop_known"] | new_known | clip_now,
                 # Depth-clipped paths back up the reached node's own eval
-                # (forward()'s clip handling): flag/value from its edge.
+                # (forward()'s clip handling): flag, value AND ply from its
+                # edge — a clipped node can be solved, and its gamma^ply
+                # discount must survive (eval.rs:95-105).
                 known_f=jnp.where(
                     new_known | clip_now, cf, st["known_f"]
                 ),
-                known_p=jnp.where(new_known, cp, jnp.where(clip_now, 0, st["known_p"])),
+                known_p=jnp.where(new_known | clip_now, cp, st["known_p"]),
                 known_v=jnp.where(
                     new_known | clip_now, cv, st["known_v"]
                 ),

@@ -114,3 +114,31 @@ def test_truncation_stats():
     st = np.asarray(truncation_stats(tree))
     # 3x3 branching never exceeds 16 in the first few plies.
     assert (st[:, 1] == 0).all()
+
+
+def test_uct_scores_reference_formula():
+    """uct_scores mirrors select_with_uct (policy.rs:104-117,158-164):
+    q + sqrt(ln(N)/n) + beta*std, win-children pruned."""
+    import jax.numpy as jnp
+    from takzero_tpu.search.policy import uct_scores
+    from takzero_tpu.search.tree import init_tree
+    from takzero_tpu.search.openings import make_new_opening
+
+    eng = engine(3)
+    envs = make_new_opening(eng)(jax.random.PRNGKey(0), 1)
+    tree = init_tree(eng, envs, max_nodes=8, max_children=48)
+    tree = tree._replace(
+        child_action=tree.child_action.at[0, 0, 0].set(5)
+        .at[0, 0, 1].set(6),
+        child_visit=tree.child_visit.at[0, 0, 0].set(4).at[0, 0, 1].set(1),
+        child_value=tree.child_value.at[0, 0, 0].set(0.25),
+        child_flag=tree.child_flag.at[0, 0, 1].set(ev.WIN),
+        child_ply=tree.child_ply.at[0, 0, 1].set(1),
+    )
+    s = np.asarray(uct_scores(tree, jnp.asarray([5.0]), 0.0))[0]
+    # Slot 0: q = -0.25 (negated), u = sqrt(ln 5 / 4).
+    np.testing.assert_allclose(
+        s[0], -0.25 + np.sqrt(np.log(5.0) / 4.0), rtol=1e-6
+    )
+    assert s[1] == -np.inf  # win child pruned (root not a proven loss)
+    assert (s[2:] == -np.inf).all()  # invalid slots

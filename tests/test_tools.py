@@ -139,3 +139,19 @@ def test_analysis_root_table():
     text = buf.getvalue()
     assert "root: visits=" in text
     assert "a1" in text or "b2" in text
+
+
+def test_compete_asymmetric_tree_reuse():
+    """(white, black) reuse pair: carried-subtree vs fresh-tree at equal
+    budget runs and scores all games (the reuse-strength A/B harness)."""
+    cfg = NetConfig(n=3, half_komi=0, novelty="none", **TINY)
+    eng = engine(3)
+    evaluator = make_net_evaluate(cfg, eng)
+    compete = make_compete(
+        eng, evaluator, 4, 16, max_children=48, max_depth=16,
+        tree_reuse=(True, False),
+    )
+    a = new_agent(cfg, seed=1)
+    envs = make_new_opening(eng, random_steps=2)(jax.random.PRNGKey(2), 4)
+    result = compete(a, a, envs, jax.random.PRNGKey(3), max_moves=30)
+    assert result.wins + result.losses + result.draws == 4
