@@ -64,5 +64,12 @@ class PositionBuffer:
             del self._items[: len(self._items) - self._max_len]
 
     def sample(self, k: int):
-        idx = self._rng.integers(0, len(self._items), size=k)
+        """k DISTINCT positions (fewer if the buffer is shorter) — the
+        reference samples without repetition (IndexedRandom::sample,
+        reanalyze/src/main.rs:150-157), so one batch never searches the
+        same position twice."""
+        k = min(k, len(self._items))
+        if k == 0:
+            return []
+        idx = self._rng.choice(len(self._items), size=k, replace=False)
         return [self._items[i] for i in idx]

@@ -89,11 +89,41 @@ class Replay:
 
 
 def _fmt(x: float) -> str:
-    """Shortest clean decimal (Rust Display-like: 4 -> "4", 0.5 -> "0.5")."""
+    """Shortest clean decimal (Rust Display-like: 4 -> "4", 0.5 -> "0.5").
+
+    NaN/inf serialize as repr (like Rust's Display) instead of raising —
+    a diverged network must not kill an actor mid-write and lose the
+    whole batch of finished games."""
     x = float(np.float32(x))
-    if x == int(x) and abs(x) < 1e15:
+    if np.isfinite(x) and x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)
+
+
+def pad_policy_with_legal(policy: list, legal_mask) -> list:
+    """Append zero-probability entries for legal actions missing from
+    `policy`.  The reference stores ALL children, so its target lines
+    list exactly every legal action and `Target::from_str` validates
+    that (target.rs:123-134); a child-truncated root here stores only
+    the top-C children — pad the rest so the wire contract (and the
+    learner's legality mask, built from the policy entries) stays exact."""
+    have = {a for a, _ in policy}
+    pad = [
+        (int(a), 0.0)
+        for a in np.flatnonzero(np.asarray(legal_mask))
+        if int(a) not in have
+    ]
+    return policy + pad
+
+
+def result_str_from(res: int, road: bool) -> str:
+    """PTN result from (winner color, won-by-road): R-0/0-R roads,
+    F-0/0-F flats, 1/2-1/2 draws."""
+    if res == 2:
+        return "1/2-1/2"
+    if res == 0:
+        return "R-0" if road else "F-0"
+    return "0-R" if road else "0-F"
 
 
 def result_string(eng: TakEngine, state) -> str:
@@ -101,11 +131,5 @@ def result_string(eng: TakEngine, state) -> str:
     res = int(np.asarray(eng.game_result_jit(state)))
     if res == -1:
         return ""
-    if res == 2:
-        return "1/2-1/2"
-
     roads = np.asarray(eng._roads(state))
-    road = bool(roads[res])
-    if res == 0:
-        return "R-0" if road else "F-0"
-    return "0-R" if road else "0-F"
+    return result_str_from(res, bool(roads[res]) if res in (0, 1) else False)

@@ -27,6 +27,7 @@ from ..parallel import coordinator as co
 from ..parallel import mesh as pm
 from ..reanalyze import build_targets, make_reanalyze_step
 from ..tak import engine, state_to_tps
+from ..tak.oracle import Oracle
 from ..utils import ckpt
 
 log = logging.getLogger("reanalyze")
@@ -130,13 +131,18 @@ def main(argv=None) -> None:
             rep_sharding = pm.replicated(mesh)
 
     evaluator = make_net_evaluate(net_cfg, eng)
+    # Same child capacity as the selfplay actor (256 at 6x6+,
+    # config.selfplay_preset) — reanalyze searches the same positions and
+    # must not truncate more often than selfplay does.
+    max_children = max(cfg.max_children, 256 if net_cfg.n >= 6 else 0)
+    oracle = Oracle(net_cfg.n, net_cfg.half_komi)
     step = jax.jit(
         make_reanalyze_step(
             eng,
             evaluator,
             cfg.sampled_actions,
             cfg.search_budget,
-            cfg.max_children,
+            max_children,
             cfg.max_depth,
             cfg.ube_target_beta,
         ),
@@ -204,8 +210,13 @@ def main(argv=None) -> None:
         batch_states = jax.tree.map(jax.numpy.asarray, states)
         if mesh is not None:
             batch_states = pm.shard_batch(mesh, batch_states)
-        _, pol, child_actions, ube, value = step(batch_states, bundle, k)
-        targets = build_targets(net_cfg.n, tps_batch, pol, child_actions, ube, value)
+        _, pol, child_actions, ube, value, incomplete = step(
+            batch_states, bundle, k
+        )
+        targets = build_targets(
+            net_cfg.n, tps_batch, pol, child_actions, ube, value,
+            incomplete=incomplete, oracle=oracle,
+        )
         if coord:
             co.append_lines(
                 args.directory, co.TARGETS_REANALYZE, [t.to_line() for t in targets]

@@ -51,16 +51,36 @@ def make_reanalyze_step(
 
         pol = improved_policy(tree, most_visited_count(tree).astype(jnp.float32))
         ube = ube_target(tree, ube_target_beta)
-        return slot_action(tree, slot), pol, tree.child_action[:, 0, :], ube, value
+        return (
+            slot_action(tree, slot),
+            pol,
+            tree.child_action[:, 0, :],
+            ube,
+            value,
+            tree.node_incomplete[:, 0],
+        )
 
     return step
 
 
-def build_targets(n, tps_batch, pol, child_actions, ube, value) -> list[Target]:
+def build_targets(
+    n, tps_batch, pol, child_actions, ube, value, incomplete=None, oracle=None
+) -> list[Target]:
+    """Target rows from one reanalyze step.  With ``incomplete``/``oracle``,
+    child-truncated roots pad the missing legal actions at p=0 so the line
+    lists exactly every legal action (reference wire contract,
+    target.rs:123-134)."""
+    from .data.target import pad_policy_with_legal
+    from .tak import tps_to_state
+
     pol = np.asarray(pol)
     child_actions = np.asarray(child_actions)
     ube = np.asarray(ube)
     value = np.asarray(value)
+    incomplete = (
+        np.zeros(len(tps_batch), bool) if incomplete is None
+        else np.asarray(incomplete).astype(bool)
+    )
     out = []
     for i, tps in enumerate(tps_batch):
         policy = [
@@ -68,6 +88,10 @@ def build_targets(n, tps_batch, pol, child_actions, ube, value) -> list[Target]:
             for a, p in zip(child_actions[i], pol[i])
             if a >= 0
         ]
+        if incomplete[i] and oracle is not None:
+            policy = pad_policy_with_legal(
+                policy, oracle.legal_mask(tps_to_state(n, tps))
+            )
         out.append(
             Target(tps=tps, value=float(value[i]), ube=float(ube[i]),
                    policy=policy, n=n)

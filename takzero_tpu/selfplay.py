@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.target import Replay, Target
+from .data.target import Replay, Target, pad_policy_with_legal, result_str_from
 from .search import eval as ev
 from .search.gumbel import make_gumbel_search, sh_schedule
 from .search.openings import make_new_opening
@@ -192,6 +192,10 @@ class SelfplayEngine:
                     # (VERDICT: the solver loses loss/draw exactness at
                     # incomplete nodes; measure how often C actually binds).
                     as_i32(truncation_stats(tree)),
+                    # Per-lane root truncation bit: such roots' policy
+                    # targets must be padded with the missing legal
+                    # actions to keep the reference wire contract.
+                    as_i32(tree.node_incomplete[:, 0]),
                 ],
                 axis=1,
             )
@@ -212,6 +216,17 @@ class SelfplayEngine:
         # [expanded nodes, incomplete (child-truncated) nodes] accumulated
         # over every post-search tree this engine has produced.
         self.truncation_totals = [0, 0]
+        self._orc = None
+
+    def _oracle(self):
+        """Lazy host oracle for the rare truncated-root policy padding."""
+        if self._orc is None:
+            from .tak.oracle import Oracle
+
+            self._orc = Oracle(
+                self.eng.n, self.eng.half_komi, self.eng.reversible_limit
+            )
+        return self._orc
 
     def reset(self, key):
         self.envs = self._opening(key, self.cfg.batch)
@@ -226,7 +241,10 @@ class SelfplayEngine:
         ]
 
     def play_move(self, bundle, key):
-        """One move in every game. Returns (targets, replays) completed."""
+        """One move in every game.
+
+        Returns ``(targets, replays, exploration_replays)`` completed by
+        this move (exploration replays only when the lane's beta > 0)."""
         cfg = self.cfg
         # The pre-move host state is last move's fetched post-move state —
         # refetching it costs one blocking round trip per array on a
@@ -244,13 +262,14 @@ class SelfplayEngine:
         pk = np.asarray(packed)
         s = self.eng.n * self.eng.n
         c = self.cfg.max_children
-        cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1, 1])
-        assert pk.shape[1] == cuts[-1] + 2, (pk.shape, cuts[-1] + 2)
+        cuts = np.cumsum([1, 1, 1, 1, 1, c, c, s, s, s, s, 4, 1, 1, 1, 2])
+        assert pk.shape[1] == cuts[-1] + 1, (pk.shape, cuts[-1] + 1)
         (
             action, tk, res, road, ube_b, pol_b, child_actions,
             height, owner_lo, owner_hi, tops, reserves, to_move, ply,
-            reversible, trunc,
+            reversible, trunc, root_inc,
         ) = np.split(pk, cuts, axis=1)
+        root_inc = root_inc[:, 0].astype(bool)
         self.truncation_totals[0] += int(trunc[:, 0].sum())  # expanded nodes
         self.truncation_totals[1] += int(trunc[:, 1].sum())  # incomplete
         action = action[:, 0]
@@ -285,6 +304,13 @@ class SelfplayEngine:
                 for a, p in zip(child_actions[i], pol[i])
                 if a >= 0
             ]
+            if root_inc[i]:
+                # Truncated root: pad the missing legal actions at p=0 so
+                # the target line lists exactly every legal action
+                # (reference Target::from_str contract, target.rs:123-134).
+                policy_i = pad_policy_with_legal(
+                    policy_i, self._oracle().legal_mask(state_i)
+                )
             log.pending.append(
                 PendingTarget(
                     tps=state_to_tps(self.eng.n, state_i),
@@ -357,13 +383,7 @@ def ev_float_host(flag: int, ply: int, discount: float) -> float:
     return sign * discount**ply
 
 
-def _result_str(res: int, road: bool) -> str:
-    """PTN result: R-0/0-R for roads, F-0/0-F for flats, 1/2-1/2 draws."""
-    if res == 2:
-        return "1/2-1/2"
-    if res == 0:
-        return "R-0" if road else "F-0"
-    return "0-R" if road else "0-F"
+_result_str = result_str_from  # single source of truth: data/target.py
 
 
 def _lane(host_state, i: int):

@@ -14,10 +14,11 @@ import numpy as np
 
 from ..data.target import Target
 from ..ops.repr import state_to_planes
+from ..search import eval as ev
 from ..selfplay import ev_float_host, ev_negate_host
 from ..tak import state_to_tps, tps_to_state
 from ..tak.engine import TakEngine
-from ..tak.oracle import Oracle, unpack_state
+from ..tak.oracle import Oracle
 from ..tak.state import TakState
 from ..tak.symmetry import action_maps, transform_state_np
 from .learner import Batch
@@ -106,7 +107,7 @@ def random_pretraining_targets(
         flag, ply = tk, 0
         for cur, legal in reversed(per_position):
             flag, ply, _ = ev_negate_host(flag, ply)
-            value = ev_float_host(flag, ply, 0.997)
+            value = ev_float_host(flag, ply, ev.DISCOUNT)
             p = 1.0 / len(legal)
             out.append(
                 Target(

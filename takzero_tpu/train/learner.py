@@ -11,7 +11,8 @@ Loss exactly as the reference learner (learn/src/main.rs:375-423):
 
 Data parallelism: `make_train_step` returns a step function that can be
 jitted plainly (single chip) or under `shard_map`/NamedSharding over a
-`dp` mesh axis — gradients are `psum`-ed over `dp` (see parallel/mesh.py).
+`dp` mesh axis — gradients are `pmean`-ed over `dp` (per-shard losses
+are already per-shard means; see parallel/mesh.py).
 """
 
 from __future__ import annotations
