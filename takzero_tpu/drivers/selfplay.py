@@ -90,7 +90,8 @@ def main(argv=None) -> None:
         )
     coord = multi is None or multi.is_coordinator()
 
-    seed = args.seed if args.seed is not None else np.random.SeedSequence().entropy % 2**31
+    seed = args.seed if args.seed is not None else np.random.SeedSequence().entropy
+    seed %= 2**31  # broadcast_scalar carries int32; keep launch modes identical
     if multi:
         # Lockstep lanes need one shared RNG stream.
         seed = multi.broadcast_scalar(seed)

@@ -97,25 +97,49 @@ class TeiEngine:
 
             The PV walk runs on device — fetching the full child_action/
             node/visit pools (tens of MB at TEI tree sizes) per info line
-            dwarfed the search itself over a remote link.
+            dwarfed the search itself over a remote link.  Each PV step
+            mirrors the reference's `select_best_action` per node
+            (node/mod.rs:132-163, used by its PV iterator mod.rs:40-62):
+            eval-minimal child on solved nodes, else most-visited, else
+            max-probability — so the PV's first move always matches the
+            bestmove select_best_slot plays.
             """
             ca = tree.child_action[0]
             cn = tree.child_node[0]
             cv = tree.child_visit[0]
+            cf = tree.child_flag[0]
+            cp = tree.child_ply[0]
+            cval = tree.child_value[0]
+            cpr = tree.child_prob[0]
 
             def body(carry, _):
-                node, alive = carry
-                row_v, row_a, row_n = cv[node], ca[node], cn[node]
-                valid = row_a >= 0
-                any_v = jnp.any(valid & (row_v > 0))
-                slot = jnp.argmax(jnp.where(valid, row_v, -1))
-                act = jnp.where(alive & any_v, row_a[slot], -1)
-                nxt = row_n[slot]
-                alive = alive & any_v & (nxt >= 0)
-                return (jnp.where(alive, nxt, node), alive), act
+                node, alive, known = carry
+                valid = ca[node] >= 0
+                any_valid = jnp.any(valid)
+                solved_slot = ev.argmin_eval(
+                    cf[node][None], cp[node][None], cval[node][None],
+                    valid[None],
+                )[0]
+                visits = jnp.where(valid, cv[node], -1)
+                most_visited = jnp.argmax(visits)
+                by_prob = jnp.argmax(jnp.where(valid, cpr[node], -1.0))
+                unsolved = jnp.where(
+                    jnp.max(visits) <= 0, by_prob, most_visited
+                )
+                slot = jnp.where(known, solved_slot, unsolved).astype(jnp.int32)
+                act = jnp.where(alive & any_valid, ca[node, slot], -1)
+                nxt = cn[node, slot]
+                alive = alive & any_valid & (nxt >= 0)
+                known_next = cf[node, slot] != ev.VALUE
+                return (
+                    jnp.where(alive, nxt, node), alive, known_next
+                ), act
 
-            (_, _), acts = jax.lax.scan(
-                body, (jnp.int32(0), jnp.bool_(True)), None, length=PV_LEN
+            (_, _, _), acts = jax.lax.scan(
+                body,
+                (jnp.int32(0), jnp.bool_(True), tree.root_flag[0] != ev.VALUE),
+                None,
+                length=PV_LEN,
             )
             return jnp.concatenate(
                 [
@@ -127,7 +151,9 @@ class TeiEngine:
             )
 
         self._info_pack = jax.jit(info_pack)
-        self.position = self.eng.initial()
+        self._terminal = jax.jit(self.eng.terminal_kind)
+        if self.position is None:
+            self.position = self.eng.initial()
 
     # ------------------------------------------------------------------
     def cmd_position(self, parts: list[str]):
@@ -178,6 +204,12 @@ class TeiEngine:
 
     def cmd_go(self, parts: list[str]):
         self.ensure_ready()
+        if int(np.asarray(self._terminal(self.position))) != 0:
+            # No legal moves exist; searching would be meaningless and any
+            # move string would be illegal. "0000" is the null-move token.
+            self.send("info string position is terminal")
+            self.send("bestmove 0000")
+            return
         opts = {}
         it = iter(parts)
         for tok in it:
@@ -223,7 +255,7 @@ class TeiEngine:
                 nodes += SIM_CHUNK
                 self._info(pk, nodes, time.time() - start)
                 solved = int(pk[0]) != ev.VALUE
-            if self._poll_commands() is not None:
+            if self._poll_commands(infinite=infinite) is not None:
                 break  # stop (quit re-queued for the main loop)
             if infinite:
                 continue
@@ -232,17 +264,24 @@ class TeiEngine:
         slot = select_best_slot(tree)
         action = int(np.asarray(slot_action(tree, slot))[0])
         self.tree = tree  # keep for descend on the next position command
+        if action < 0:  # unexpanded root (defensive; terminal gated above)
+            self.send("bestmove 0000")
+            return
         self.send(f"bestmove {action_to_ptn(self.cfg.n, action)}")
 
-    def _poll_commands(self) -> str | None:
+    def _poll_commands(self, infinite: bool = False) -> str | None:
         """Drain stdin lines that arrived mid-search (the reference's
         stdin-reader thread + AtomicBool, tei/src/main.rs:113-134).
 
-        ``isready`` is answered immediately; ``stop``/``quit`` with no
-        deferred commands ahead of it interrupts the CURRENT search (a
-        quit is re-queued so the main loop exits after bestmove); any
-        other command is deferred in arrival order — so a piped script
-        ``go ... go ... quit`` still runs both searches to completion.
+        ``isready`` is answered immediately.  ``stop`` ALWAYS interrupts
+        the current search (that is what stop means, whenever it
+        arrives); deferred commands still run afterwards.  ``quit``
+        interrupts when nothing is deferred ahead of it OR the search is
+        ``infinite`` (which only stop/quit can end — deferring quit
+        behind another command would livelock); an interrupting quit is
+        re-queued so the main loop exits after bestmove.  Other piped
+        sequences (``go ... go ... quit``) still run every search to its
+        budget because their quit is deferred in arrival order.
         """
         if self.commands is None:
             return None
@@ -257,10 +296,11 @@ class TeiEngine:
                 continue
             if parts[0] == "isready":
                 self.send("readyok")
-            elif parts[0] in ("stop", "quit") and not self.pending:
-                if parts[0] == "quit":
-                    self.pending.append("quit")
-                return parts[0]
+            elif parts[0] == "stop":
+                return "stop"
+            elif parts[0] == "quit" and (infinite or not self.pending):
+                self.pending.append("quit")
+                return "quit"
             else:
                 self.pending.append(line)
 
@@ -306,6 +346,11 @@ class TeiEngine:
             if name.lower() == "model":
                 self.model_path = value
                 self.bundle = None
+                # Stats searched under the old weights must not seed the
+                # new model's searches; position is kept (ensure_ready no
+                # longer clobbers it).
+                self.tree = None
+                self.tree_history = None
             elif name.lower() == "halfkomi":
                 import dataclasses
 
@@ -326,9 +371,16 @@ class TeiEngine:
             self.tree = None
             self.tree_history = None
         elif cmd == "position":
-            self.cmd_position(rest)
+            try:
+                self.cmd_position(rest)
+            except Exception as e:  # a garbled GUI line must not kill us
+                self.send(f"info string error: bad position command ({e})")
         elif cmd == "go":
-            self.cmd_go(rest)
+            try:
+                self.cmd_go(rest)
+            except Exception as e:
+                self.send(f"info string error: bad go command ({e})")
+                self.send("bestmove 0000")
         elif cmd == "stop":
             pass  # no search in flight: nothing to stop
         elif cmd == "quit":

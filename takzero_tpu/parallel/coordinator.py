@@ -72,19 +72,21 @@ class Tailer:
                 if f.read(len(self.sig)) != self.sig:
                     self.offset = 0
                     self.sig = b""
-        with open(self.path, "r", encoding="utf-8") as f:
+        # Binary read: offsets/sig/st_size all count BYTES (a text-mode
+        # read would count characters and desync on any multi-byte UTF-8
+        # content, re-reading records or seeking mid-character).
+        with open(self.path, "rb") as f:
             f.seek(self.offset)
             data = f.read()
             # Only consume complete lines (writers append whole lines).
-            last_nl = data.rfind("\n")
+            last_nl = data.rfind(b"\n")
             if last_nl < 0:
                 return []
             consumed = data[: last_nl + 1]
             if len(self.sig) < self._SIG_LEN:
-                head = consumed.encode("utf-8")[: self._SIG_LEN - len(self.sig)]
-                self.sig += head
+                self.sig += consumed[: self._SIG_LEN - len(self.sig)]
             self.offset += last_nl + 1
-            return consumed.splitlines()
+            return consumed.decode("utf-8").splitlines()
 
 
 def write_buffer_lengths(directory, selfplay: int, reanalyze: int) -> None:

@@ -35,6 +35,16 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
             raise ValueError(
                 f"--devices {n_devices} but only {len(devices)} visible"
             )
+        if jax.process_count() > 1 and n_devices != len(devices):
+            # A partial mesh would exclude some processes' devices: those
+            # processes then have no local participants in the jitted
+            # collectives and the group hangs or errors. Every process in
+            # a multihost job must contribute all of its chips.
+            raise ValueError(
+                f"--devices {n_devices} != {len(devices)} global devices; "
+                "in multihost mode the mesh must span every device "
+                "(omit --devices or pass the global count)"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 

@@ -38,11 +38,11 @@ def initialize(coordinator_address: str | None = None,
     """
     kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
 
 
@@ -103,5 +103,8 @@ def process_batch_slice(global_batch: int) -> tuple[int, int]:
     n = jax.process_count()
     i = jax.process_index()
     per = global_batch // n
-    assert per * n == global_batch, "batch must divide process count"
+    assert per * n == global_batch, (
+        f"global batch {global_batch} must be a multiple of the "
+        f"{n} processes"
+    )
     return per, i * per

@@ -162,3 +162,15 @@ def test_devices_requested_parses_both_flag_forms():
     assert _devices_requested(["x"]) is None
     assert _devices_requested(["x", "--devices"]) is None  # malformed: argparse reports
     assert _devices_requested(["x", "--devices=abc"]) is None
+
+
+def test_tailer_handles_multibyte_utf8(tmp_path):
+    """Offsets count bytes, not characters — multi-byte UTF-8 content
+    must not desync the tail (re-reads or mid-character seeks)."""
+    d = tmp_path
+    tail = co.Tailer(d, co.TARGETS_SELFPLAY)
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["héllo;1;0;a1:1", "plain;1;0;a1:1"])
+    assert tail.read_new_lines() == ["héllo;1;0;a1:1", "plain;1;0;a1:1"]
+    co.append_lines(d, co.TARGETS_SELFPLAY, ["wörld;2;0;b1:1"])
+    assert tail.read_new_lines() == ["wörld;2;0;b1:1"]  # no re-read, no error
+    assert tail.read_new_lines() == []
