@@ -89,15 +89,18 @@ class Replay:
 
 
 def _fmt(x: float) -> str:
-    """Shortest clean decimal (Rust Display-like: 4 -> "4", 0.5 -> "0.5").
+    """Shortest f32 decimal (Rust Display-like: 4 -> "4", 0.997 -> "0.997").
 
-    NaN/inf serialize as repr (like Rust's Display) instead of raising —
+    Values are float32 on the wire both ways, so the shortest string that
+    round-trips FLOAT32 is emitted (widening to f64 first would print
+    0.997 as "0.996999979019165" — 17 digits of noise per field).
+    NaN/inf serialize as text (like Rust's Display) instead of raising —
     a diverged network must not kill an actor mid-write and lose the
     whole batch of finished games."""
-    x = float(np.float32(x))
-    if np.isfinite(x) and x == int(x) and abs(x) < 1e15:
-        return str(int(x))
-    return repr(x)
+    f = np.float32(x)
+    if np.isfinite(f) and f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return np.format_float_positional(f, unique=True, trim="0")
 
 
 def pad_policy_with_legal(policy: list, legal_mask) -> list:

@@ -137,6 +137,15 @@ def main(argv=None) -> None:
         or LearnConfig.steps_per_checkpoint,
     )
     net_cfg = NET_PRESETS[args.net]
+    if net_cfg.novelty == "ensemble":
+        # Reference parity: its learn binary never trains ensemble heads
+        # either — they train only in the eee/ensemble experiment
+        # (eee/src/ensemble.rs:320-339). Left at init here, the variance
+        # across heads is a meaningless constant novelty signal.
+        log.warning(
+            "novelty='ensemble': the ensemble heads are NOT trained by this "
+            "driver (train them via `eee ensemble`, matching the reference)"
+        )
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
     rng = np.random.default_rng(args.seed)
 

@@ -38,15 +38,9 @@ from .rnd import CSV_HEADER, REF_NAMES
 
 
 def _ensemble_forward(cfg: NetConfig, bundle, planes):
-    x = jnp.transpose(planes, (0, 2, 3, 1)).astype(cfg.compute_dtype)
-    core = Core(cfg).apply(
-        {
-            "params": bundle["params"]["core"],
-            "batch_stats": bundle["batch_stats"].get("core", {}),
-        },
-        x,
-        False,
-    )
+    from ..models.agent import _core_only
+
+    core = _core_only(cfg, bundle, planes)
     return EnsembleHeads(cfg).apply({"params": bundle["ensemble_params"]}, core)
 
 
@@ -105,7 +99,12 @@ def make_ensemble_step(cfg: NetConfig, eng, tx):
                 x,
                 False,
             )
-            heads = EnsembleHeads(cfg).apply({"params": ens_params}, core)
+            # The reference computes the ensemble on a DETACHED core
+            # (net4_ensemble.rs:153 core.detach()): head loss must not
+            # backprop into the tower.
+            heads = EnsembleHeads(cfg).apply(
+                {"params": ens_params}, jax.lax.stop_gradient(core)
+            )
             loss_ens = jnp.mean((target_ens - heads) ** 2)
             loss = loss_policy + loss_value + loss_ube + loss_ens
             aux = (

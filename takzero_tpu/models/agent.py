@@ -150,9 +150,18 @@ def hash_novelty(cfg: NetConfig, bundle, planes) -> jnp.ndarray:
     return jnp.where(seen, 0.0, MAXIMUM_VARIANCE)
 
 
-def hash_update(cfg: NetConfig, bundle, planes):
-    """Mark positions as seen; returns the updated bundle."""
+def hash_update(cfg: NetConfig, bundle, planes, axis_name: str | None = None):
+    """Mark positions as seen; returns the updated bundle.
+
+    Under ``shard_map`` pass the mesh ``axis_name``: each device sees only
+    its batch shard, so the indices are all-gathered first — otherwise the
+    supposedly replicated bitset diverges per device (and checkpointing,
+    which saves device 0's view, silently drops the other shards' bits).
+    The GSPMD ``jit`` path needs no axis name: XLA inserts the gather.
+    """
     idx = hash_indices(cfg, bundle, planes)
+    if axis_name is not None:
+        idx = jax.lax.all_gather(idx, axis_name).reshape(-1)
     return {**bundle, "hash_bits": bs.bitset_set(bundle["hash_bits"], idx)}
 
 
@@ -214,11 +223,18 @@ def make_net_evaluate(cfg: NetConfig, eng: TakEngine, folded: bool = True):
 
     def net_evaluate(bundle, envs):
         planes = planes_batch(envs)
+        ensemble = cfg.novelty == "ensemble"
+        core = None
         if folded:
             fw = fold_inference_params(
                 cfg, bundle["params"], bundle["batch_stats"]
             )
-            policy, value, ube = apply_folded(cfg, fw, planes)
+            # Ensemble heads reuse the folded tower's core — recomputing
+            # it (the old _core_only path) doubled NN cost per evaluation.
+            out = apply_folded(cfg, fw, planes, with_core=ensemble)
+            policy, value, ube = out[:3]
+            if ensemble:
+                core = out[3]
         else:
             policy, value, ube = model.apply(
                 {"params": bundle["params"], "batch_stats": bundle["batch_stats"]},
@@ -229,8 +245,9 @@ def make_net_evaluate(cfg: NetConfig, eng: TakEngine, folded: bool = True):
             local = hash_novelty(cfg, bundle, planes)
         elif cfg.novelty == "rnd":
             local = rnd_novelty(cfg, bundle, planes)
-        elif cfg.novelty == "ensemble":
-            core = _core_only(cfg, bundle, planes)
+        elif ensemble:
+            if core is None:
+                core = _core_only(cfg, bundle, planes)
             heads = EnsembleHeads(cfg).apply(
                 {"params": bundle["ensemble_params"]}, core
             )

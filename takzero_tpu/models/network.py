@@ -288,8 +288,11 @@ def _conv2d(x, kernel, bias, dtype):
     return y + bias[None, None, None, :]
 
 
-def apply_folded(cfg: NetConfig, fw, planes):
-    """Inference forward on folded weights: (policy [B,A], value, ube)."""
+def apply_folded(cfg: NetConfig, fw, planes, with_core: bool = False):
+    """Inference forward on folded weights: (policy [B,A], value, ube).
+
+    ``with_core`` appends the residual-tower output [B,N,N,F] (for extra
+    heads, e.g. the ensemble) so callers never pay a second full tower."""
     dt = cfg.compute_dtype
     x = jnp.transpose(planes, (0, 2, 3, 1))  # NHWC
     x = jax.nn.relu(_conv2d(x, *fw["stem"], dt)).astype(dt)
@@ -312,7 +315,8 @@ def apply_folded(cfg: NetConfig, fw, planes):
 
     value = scalar_head(fw["value"], True)
     ube = scalar_head(fw["ube"], False)
-    return policy.astype(jnp.float32), value, ube
+    out = (policy.astype(jnp.float32), value, ube)
+    return out + (core,) if with_core else out
 
 
 def init_network(cfg: NetConfig, seed: int = 0):

@@ -26,7 +26,16 @@ def _simhash_kernel(x_ref, m_ref, out_ref):
     # x: [TB, In] f32, m: [In, bits] f32, out: [TB, 1] uint32 (padded lanes).
     # Mosaic has no unsigned reductions; sum in int32 (two's complement has
     # the same bit pattern) and bitcast to uint32 at the end.
-    dots = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: the MXU's default bf16 passes can flip the sign of
+    # near-zero dots vs the f32 CPU fallback, yielding different hash
+    # indices for the same position across backends (hash_indices'
+    # reproducibility contract).
+    dots = jnp.dot(
+        x_ref[:],
+        m_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     bits = (dots >= 0.0).astype(jnp.int32)  # [TB, bits]
     nbits = bits.shape[1]
     powers = (
@@ -79,7 +88,7 @@ def simhash_pack(x: jnp.ndarray, matrix: jnp.ndarray, interpret: bool = False):
 
 def simhash_pack_reference(x: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
     """Pure-JAX equivalent (the non-TPU fallback)."""
-    dots = x @ matrix
+    dots = jnp.matmul(x, matrix, precision=jax.lax.Precision.HIGHEST)
     bits = (dots >= 0).astype(jnp.uint32)
     powers = jnp.uint32(1) << jnp.arange(matrix.shape[1], dtype=jnp.uint32)
     return jnp.sum(bits * powers[None, :], axis=-1, dtype=jnp.uint32)

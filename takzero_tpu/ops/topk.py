@@ -117,7 +117,8 @@ def _topk_kernel(k: int, x_ref, vals_ref, idx_ref):
         jnp.float32
     )  # [S,K,R] one-hot: the lane-row holding rank k
 
-    xz = jnp.where(sel > 0.0, t_all, 0.0)  # -inf pad would make 0*x NaN
+    xz = sel * t_all  # inputs are clamped finite by the wrapper, so
+    # masking by multiply is safe (0 * x never hits an inf/NaN)
     rhs = jnp.concatenate([w_in, sel, xz], axis=2)  # [S,R,384]
     got = jax.lax.dot_general(
         oh_r, rhs, (((2,), (1,)), ((0,), (0,))),
@@ -146,16 +147,24 @@ def exact_top_k_unsorted(x: jnp.ndarray, k: int, interpret: bool = False):
 
     Ties toward lower indices; output ordered by ascending index.
     Requires A >= k.
+
+    ±inf inputs are safe and come back as ±inf (like ``lax.top_k`` when a
+    row has fewer than k finite entries).  Internally they are clamped to
+    ``finfo(f32).min/max`` so a selected inf cannot poison the emit
+    matmul (0 * inf = NaN); the one visible consequence is that genuine
+    finfo.min/max inputs tie with ∓inf (index order) and also return inf.
     """
     b, a = x.shape
     assert a >= k, (a, k)
     r = pl.cdiv(a, LANES)
     s = ROWS_PER_PROGRAM
     bp = pl.cdiv(b, s) * s
+    f32_min = jnp.finfo(jnp.float32).min
+    f32_max = jnp.finfo(jnp.float32).max
     xp = jnp.pad(
-        x.astype(jnp.float32),
+        jnp.clip(x.astype(jnp.float32), f32_min, f32_max),
         ((0, bp - b), (0, r * LANES - a)),
-        constant_values=-jnp.inf,
+        constant_values=f32_min,
     ).reshape(bp, r, LANES)
     vals, idx = pl.pallas_call(
         functools.partial(_topk_kernel, k),
@@ -183,6 +192,8 @@ def exact_top_k_unsorted(x: jnp.ndarray, k: int, interpret: bool = False):
         ),
         interpret=interpret,
     )(xp)
+    vals = jnp.where(vals <= f32_min, -jnp.inf, vals)
+    vals = jnp.where(vals >= f32_max, jnp.inf, vals)
     return vals[:b], idx[:b]
 
 

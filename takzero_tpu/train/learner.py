@@ -72,7 +72,12 @@ def make_optimizer(learning_rate: float = 1e-4):
 
 
 def trainable_of(cfg: NetConfig, bundle):
-    """The pytree the optimizer tracks: net params (+ RND predictor)."""
+    """The pytree the optimizer tracks: net params (+ RND predictor).
+
+    Ensemble heads are deliberately NOT here: the reference's learn
+    binary never trains them either — they train only in the
+    eee/ensemble experiment (eee/src/ensemble.rs:320-339), mirrored by
+    eee/ensemble.py.  drivers/learn.py warns when they'd stay at init."""
     if cfg.novelty == "rnd":
         return (bundle["params"], bundle["rnd_params"])
     return bundle["params"]
@@ -142,7 +147,9 @@ def make_train_step(cfg: NetConfig, tx=None, axis_name: str | None = None):
         else:
             bundle = {**bundle, "params": new_trainable, "batch_stats": new_stats}
         if cfg.novelty in ("simhash", "lcghash"):
-            bundle = hash_update(cfg, bundle, batch.planes)
+            # axis_name: all-gather the shard's indices so the replicated
+            # bitset stays identical on every device (see hash_update).
+            bundle = hash_update(cfg, bundle, batch.planes, axis_name)
         return bundle, opt_state, metrics
 
     return train_step

@@ -216,3 +216,22 @@ def test_scatter_policy_matches_dense_numpy():
         pol, msk = scatter_policy(t, a, rows, cols, probs)
         np.testing.assert_array_equal(np.asarray(msk), dense_m)
         np.testing.assert_allclose(np.asarray(pol), dense_p, atol=0)
+
+
+def test_fmt_shortest_float32_decimals():
+    """Wire values are f32; _fmt must emit the shortest decimal that
+    round-trips FLOAT32 (the reference's Rust Display), not a widened
+    f64 repr ('0.996999979019165')."""
+    import numpy as np
+
+    from takzero_tpu.data.target import _fmt
+
+    assert _fmt(np.float32(0.997)) == "0.997"
+    assert _fmt(0.5) == "0.5"
+    assert _fmt(4.0) == "4"
+    assert _fmt(-1.0) == "-1"
+    assert _fmt(float("nan")) == "nan"  # diverged net must not raise
+    for v in [0.997, 1 / 3, 0.123456789, 1e-5, -0.001, 3.9999998]:
+        s = _fmt(np.float32(v))
+        assert np.float32(float(s)) == np.float32(v), (v, s)
+        assert len(s) <= 12, (v, s)  # shortest-ish, never 17-digit f64 noise

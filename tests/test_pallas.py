@@ -250,3 +250,43 @@ def test_exact_topk_grouped():
             np.testing.assert_allclose(x[b][i[b]], v[b], err_msg=mode)
             if mode != "ties":
                 np.testing.assert_array_equal(np.sort(i[b]), ir[b], err_msg=mode)
+
+
+def test_exact_topk_neginf_rows_no_nan():
+    """Rows with fewer than k finite entries (-inf masking, the lax.top_k
+    convention) must return -inf for the missing slots — a selected -inf
+    used to poison the whole emit matmul with 0*inf=NaN."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from takzero_tpu.ops.topk import (
+        exact_top_k_unsorted,
+        exact_top_k_unsorted_grouped,
+        exact_top_k_unsorted_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    x = np.full((4, 513), -np.inf, np.float32)
+    for i in range(4):
+        j = rng.choice(513, 10, replace=False)
+        x[i, j] = rng.standard_normal(10).astype(np.float32)
+    k = 64
+    v, idx = exact_top_k_unsorted(jnp.asarray(x), k, interpret=True)
+    v, idx = np.asarray(v), np.asarray(idx)
+    assert not np.isnan(v).any()
+    assert (idx >= 0).all() and (idx < 513).all()
+    vl, _ = jax.lax.top_k(jnp.asarray(x), k)
+    for b in range(4):
+        # Same multiset of values as lax.top_k: 10 finite + 54 -inf.
+        np.testing.assert_array_equal(
+            np.sort(v[b]), np.sort(np.asarray(vl)[b])
+        )
+        # Each slot's value is the input at its reported index.
+        np.testing.assert_array_equal(v[b], x[b][idx[b]])
+    vg, ig = exact_top_k_unsorted_grouped(jnp.asarray(x), k)
+    assert not np.isnan(np.asarray(vg)).any()
+    vr, ir = exact_top_k_unsorted_reference(jnp.asarray(x), k)
+    assert not np.isnan(np.asarray(vr)).any()
+    np.testing.assert_array_equal(np.asarray(vr), v)
+    np.testing.assert_array_equal(np.asarray(ir), idx)

@@ -94,3 +94,38 @@ def test_sharded_gumbel_move(mesh):
     tree, slot = search(tree, jax.random.PRNGKey(2), jnp.zeros(8))
     acts = np.asarray(slot_action(tree, slot))
     assert (acts >= 0).all()
+
+
+def test_hash_update_shard_map_keeps_bitset_replicated(mesh):
+    """Under shard_map each device sees only its batch shard; hash_update
+    must all-gather the indices or the 'replicated' bitset diverges per
+    device (and checkpoints silently drop the other shards' bits)."""
+    from jax.experimental.shard_map import shard_map
+
+    from takzero_tpu.models.agent import hash_update, new_agent
+    from takzero_tpu.ops.repr import state_to_planes
+    from takzero_tpu.search.openings import make_new_opening
+
+    cfg = NetConfig(
+        n=3, half_komi=0, filters=8, blocks=1, novelty="lcghash", hash_bits=10
+    )
+    eng = engine(3, half_komi=0)
+    envs = jax.jit(
+        make_new_opening(eng), static_argnames="batch"
+    )(jax.random.PRNGKey(0), 16)
+    planes = jax.jit(jax.vmap(lambda s: state_to_planes(eng, s)))(envs)
+    bundle = new_agent(cfg, seed=0)
+
+    want = np.asarray(hash_update(cfg, bundle, planes)["hash_bits"])
+    assert want.any(), "test batch should set at least one bit"
+
+    f = shard_map(
+        lambda b, p: hash_update(cfg, b, p, axis_name="dp")["hash_bits"][None],
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    per_dev = np.asarray(f(bundle, planes))  # [8, words]
+    for d in range(per_dev.shape[0]):
+        np.testing.assert_array_equal(per_dev[d], want, err_msg=f"device {d}")
