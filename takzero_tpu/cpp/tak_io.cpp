@@ -353,6 +353,9 @@ int tak_parse_replays(int n, int half_komi, int reversible_limit,
         tak::load(b, n, half_komi, reversible_limit, state.data());
         const char* q = tps_end + 2;
         bool ok = true;
+        long pos_start = pos;  // roll back on a malformed move token,
+                               // so "skipped" means the WHOLE line
+                               // (matches tak_parse_targets)
         while (ok && q < line_end && pos < cap_positions) {
           while (q < line_end && *q == ' ') ++q;
           if (q >= line_end) break;
@@ -370,6 +373,7 @@ int tak_parse_replays(int n, int half_komi, int reversible_limit,
           tak::step(b, a);
           q = tok_end;
         }
+        if (!ok) pos = pos_start;
       }
     }
     c = eol + 1;

@@ -28,7 +28,10 @@ def _lib() -> ctypes.CDLL:
     global _LIB
     if _LIB is None:
         so = pathlib.Path(__file__).parent.parent / "cpp" / "libtak_oracle.so"
-        if not so.exists():
+        srcs = list(so.parent.glob("*.cpp")) + list(so.parent.glob("*.hpp"))
+        if not so.exists() or any(
+            so.stat().st_mtime < s.stat().st_mtime for s in srcs
+        ):
             import subprocess
 
             subprocess.run(["make", "-C", str(so.parent)], check=True)

@@ -28,7 +28,7 @@ import optax
 
 from ..data.target import Target
 from ..models.agent import new_agent
-from ..models.network import MAXIMUM_VARIANCE, Core, EnsembleHeads, NetConfig, TakNet
+from ..models.network import MAXIMUM_VARIANCE, EnsembleHeads, NetConfig, TakNet
 from ..search import eval as ev
 from ..tak import engine
 from ..train.data import make_batch
@@ -73,10 +73,11 @@ def make_ensemble_step(cfg: NetConfig, eng, tx):
 
         def loss_fn(trainable):
             params, ens_params = trainable
-            (policy, value, ube), mut = model.apply(
+            (policy, value, ube, core), mut = model.apply(
                 {"params": params, "batch_stats": bundle["batch_stats"]},
                 batch.planes,
                 train=True,
+                with_core=True,
                 mutable=["batch_stats"],
             )
             b = policy.shape[0]
@@ -90,18 +91,10 @@ def make_ensemble_step(cfg: NetConfig, eng, tx):
                 jnp.log(MAXIMUM_VARIANCE),
             )
             loss_ube = jnp.mean((target_ube - ube) ** 2)
-            x = jnp.transpose(batch.planes, (0, 2, 3, 1)).astype(cfg.compute_dtype)
-            core = Core(cfg).apply(
-                {
-                    "params": params["core"],
-                    "batch_stats": bundle["batch_stats"].get("core", {}),
-                },
-                x,
-                False,
-            )
-            # The reference computes the ensemble on a DETACHED core
-            # (net4_ensemble.rs:153 core.detach()): head loss must not
-            # backprop into the tower.
+            # The reference hands the ensemble heads the SAME train-mode
+            # core as the other heads, DETACHED (net4_ensemble.rs:153
+            # core.detach()): no second tower forward, no grads into the
+            # tower, batch-stat normalization identical to the heads'.
             heads = EnsembleHeads(cfg).apply(
                 {"params": ens_params}, jax.lax.stop_gradient(core)
             )

@@ -6,10 +6,11 @@ Reference-batch semantics (eee/utils.rs:34-96, eee/rnd.rs:136-179):
 * late   — unique replay positions at ply 60;
 * random_early / random_late — fresh random games to the same plies
   (standard openings + uniformly random legal steps);
-* impossible_early — random-early input planes with the top-piece one-hot
-  channels permuted ([6,7,4,5,2,3,0,1] over the first 8 channels,
-  eee/utils.rs:79-89) — a position no real game can produce, probing
-  whether the novelty estimator fires off-distribution.
+* impossible_early — a THIRD independent random-early batch with its
+  first 8 input channels permuted ([6,7,4,5,2,3,0,1]: the side-to-move
+  top one-hots swap into the stack-carry planes, eee/utils.rs:78-89) —
+  positions no real game can produce, probing whether the novelty
+  estimator fires off-distribution.
 
 All batches are device plane tensors [B, C, N, N]; generation is
 vectorized (vmapped engine) rather than per-game host loops.
@@ -88,7 +89,7 @@ def reference_batches(
     random games at the same ply (keeps small test runs working)."""
     from ..train.data import stack_states
 
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     rng = np.random.default_rng(np.asarray(jax.random.key_data(k5)).ravel()[-1])
     out = {}
     for name, ply, k in (("early", early_ply, k1), ("late", late_ply, k2)):
@@ -101,6 +102,11 @@ def reference_batches(
             out[name] = random_plane_batch(eng, k, ply, batch_size)
     out["random_early"] = random_plane_batch(eng, k3, early_ply, batch_size)
     out["random_late"] = random_plane_batch(eng, k4, late_ply, batch_size)
+    # An INDEPENDENT third random batch, as in the reference
+    # (eee/utils.rs:78 draws fresh reference_envs before permuting) —
+    # permuting random_early itself would pair the two columns' samples.
     perm = jnp.asarray(impossible_permutation(eng.n))
-    out["impossible_early"] = out["random_early"][:, perm]
+    out["impossible_early"] = random_plane_batch(
+        eng, k6, early_ply, batch_size
+    )[:, perm]
     return out

@@ -162,11 +162,14 @@ class TakNet(nn.Module):
     cfg: NetConfig
 
     @nn.compact
-    def __call__(self, planes, train: bool = False):
+    def __call__(self, planes, train: bool = False, with_core: bool = False):
         """planes: [B, C, N, N] float32 -> (policy [B,A], value [B], ube [B]).
 
         `ube` is log-variance on a stop-gradient core (the reference's
-        detached UBE head).
+        detached UBE head).  ``with_core`` appends the tower output
+        [B,N,N,F] so extra heads (ensemble) reuse the same forward — the
+        reference's forward_t hands its ensemble the SAME core, detached
+        (net4_ensemble.rs:149-154).
         """
         c = self.cfg
         x = jnp.transpose(planes, (0, 2, 3, 1)).astype(c.compute_dtype)  # NHWC
@@ -182,7 +185,8 @@ class TakNet(nn.Module):
         ube = ScalarHead(tanh=False, dtype=c.compute_dtype, name="ube")(
             jax.lax.stop_gradient(core)
         )
-        return policy, value, ube
+        out = (policy, value, ube)
+        return out + (core,) if with_core else out
 
 
 class RndPair(nn.Module):

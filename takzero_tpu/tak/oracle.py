@@ -23,8 +23,13 @@ _CPP_DIR = pathlib.Path(__file__).resolve().parent.parent / "cpp"
 @functools.lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
     so = _CPP_DIR / "libtak_oracle.so"
-    src = _CPP_DIR / "tak_oracle.cpp"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+    # Stale against ANY C++ source (the rules live in tak_core.hpp, not
+    # just the .cpp) — otherwise a header edit silently fuzzes the JAX
+    # engine against the previously compiled rules.
+    srcs = list(_CPP_DIR.glob("*.cpp")) + list(_CPP_DIR.glob("*.hpp"))
+    if not so.exists() or any(
+        so.stat().st_mtime < s.stat().st_mtime for s in srcs
+    ):
         subprocess.run(["make", "-C", str(_CPP_DIR)], check=True, capture_output=True)
     lib = ctypes.CDLL(str(so))
     lib.tak_num_actions.restype = ctypes.c_int

@@ -6,8 +6,10 @@ Dump format (one root per line, produced by the selfplay driver's
 
     move:visits:eval:std:logit,move:visits:eval:std:logit,...
 
-where ``eval`` is the child eval from the parent's view ("Win(3)",
-"Loss(2)", "Draw(5)" or a float).  Reports, per file:
+where ``eval`` is the child's eval from the CHILD's own view ("Win(3)",
+"Loss(2)", "Draw(5)" or a float) exactly as dump_root_line writes it;
+``parse_line`` negates it into the parent's view for the q/best stats.
+Reports, per file:
 
 * how often the most-visited move is also the best by q + beta*sigma;
 * mean picked value and mean best value+uncertainty;

@@ -60,8 +60,11 @@ def candidate_positions(eng, games: int, min_ply: int, rng, need_caps: bool):
     return out
 
 
-def solve_batch(eng, states, budget: int, max_children: int):
-    """Run the exact solver (uniform-policy search) on a batch of states."""
+def make_solver(eng, budget: int, max_children: int):
+    """Build `solve(states) -> tree` ONCE per config: the exact solver
+    (uniform-policy search).  Built per chunk, the fresh jit closure
+    would retrace + recompile the whole budget-wide fori_loop program for
+    every batch — compilation, not solving, would dominate the tool."""
     simulate, simulate_batch = make_kernels(
         eng, dummy_evaluator(eng), max_depth=24
     )
@@ -74,9 +77,12 @@ def solve_batch(eng, states, budget: int, max_children: int):
             return simulate_batch(t, jnp.zeros(t.batch_size), k)
         return jax.lax.fori_loop(0, budget // k, body, tree)
 
-    envs = jax.tree.map(jnp.asarray, stack_states(states))
-    tree = init_tree(eng, envs, budget + 8, max_children)
-    return run(tree)
+    def solve(states):
+        envs = jax.tree.map(jnp.asarray, stack_states(states))
+        tree = init_tree(eng, envs, budget + 8, max_children)
+        return run(tree)
+
+    return solve
 
 
 def extract_puzzles(eng, tree, tinue_depths, avoidance_depths):
@@ -136,22 +142,28 @@ def main(argv=None) -> None:
             tiltak_2komi_eval REAL, tiltak_2komi_second_move_eval REAL)"""
     )
 
+    # Growing an existing DB: our fresh game ids restart at 0, so offset
+    # them past whatever the games PRIMARY KEY already holds.
+    game_base = con.execute(
+        "SELECT COALESCE(MAX(id) + 1, 0) FROM games"
+    ).fetchone()[0]
+
     cands = candidate_positions(
         eng, args.games, args.min_ply, rng, need_caps=args.size >= 5
     )
     rng.shuffle(cands)
     print(f"{len(cands)} candidate positions from {args.games} games")
+    solve = make_solver(eng, args.budget, args.max_children)
     seen_games = set()
     found = 0
     for i in range(0, len(cands) - args.batch + 1, args.batch):
         chunk = cands[i : i + args.batch]
-        tree = solve_batch(
-            eng, [s for s, _ in chunk], args.budget, args.max_children
-        )
+        tree = solve([s for s, _ in chunk])
         for lane, action, tl, al in extract_puzzles(
             eng, tree, tinue_depths, avoidance_depths
         ):
             state, game_id = chunk[lane]
+            game_id += game_base
             if game_id not in seen_games:
                 seen_games.add(game_id)
                 con.execute(

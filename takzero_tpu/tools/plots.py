@@ -71,8 +71,10 @@ def plot_eee(csv_path, out_path, window: int = 100) -> None:
     fig, ax = plt.subplots(figsize=(10, 6))
     for i, col in enumerate(header[1:], start=1):
         y = moving_average(data[:, i], min(window, max(1, len(data) // 10)))
-        x = data[: len(y), 0] if len(y) < len(data) else data[:, 0]
-        ax.plot(x[-len(y) :] if len(y) <= len(x) else x, y, label=col)
+        # End-aligned like plot_losses: y[j] averages a window ENDING at
+        # row len(data)-len(y)+j — start-aligning would shift the curve
+        # left by window-1 steps.
+        ax.plot(data[len(data) - len(y) :, 0], y, label=col)
     ax.legend()
     ax.grid(True)
     ax.set_xlabel("step")

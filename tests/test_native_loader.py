@@ -235,3 +235,26 @@ def test_fmt_shortest_float32_decimals():
         s = _fmt(np.float32(v))
         assert np.float32(float(s)) == np.float32(v), (v, s)
         assert len(s) <= 12, (v, s)  # shortest-ish, never 17-digit f64 noise
+
+
+def test_parse_replays_rolls_back_malformed_lines():
+    """A replay line with a corrupted move token is skipped WHOLE — the
+    positions emitted before the bad token must be rolled back (matching
+    tak_parse_targets), not handed to reanalyze as a partial game."""
+    n = 3
+    eng, orc, rng, games = _random_games(n, 0, 2, seed=13, max_plies=20)
+    start, actions, _ = games[0]
+    good = Replay(
+        tps=state_to_tps(n, start), actions=actions[:6], result="", n=n
+    ).to_line()
+    tokens = good.split(" ")
+    bad = " ".join(tokens[:4] + ["ZZZ"] + tokens[4:])  # corrupt mid-game
+    text = bad + "\n" + good + "\n"
+    states, plies = nl.parse_replay_positions(n, 0, eng.reversible_limit, text)
+    assert states.height.shape[0] == 6  # only the good line's positions
+    expected = Replay.from_line(n, good).states(eng)
+    import jax
+
+    for i, exp in enumerate(expected):
+        lane = jax.tree.map(lambda x: x[i], states)
+        assert state_equal(lane, jax.tree.map(np.asarray, exp))
