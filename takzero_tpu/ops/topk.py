@@ -110,7 +110,13 @@ def _topk_kernel(k: int, x_ref, vals_ref, idx_ref):
     c_row = jnp.sum(sel, axis=2)  # [S,R]
     p_row = row_exclusive(c_row)  # [S,R] exclusive prefix
 
-    kio = jax.lax.broadcasted_iota(jnp.float32, (s, k, r), 1)  # slot ids
+    # Mosaic requires integer iota results; build int32 and cast.
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+            jnp.float32
+        )
+
+    kio = fiota((s, k, r), 1)  # slot ids
     pb = p_row[:, None, :]  # [S,1,R]
     cb = c_row[:, None, :]
     oh_r = (pb <= kio).astype(jnp.float32) - (pb + cb <= kio).astype(
@@ -128,15 +134,11 @@ def _topk_kernel(k: int, x_ref, vals_ref, idx_ref):
     sel_k = got[:, :, LANES : 2 * LANES]
     x_k = got[:, :, 2 * LANES :]
 
-    kk = jax.lax.broadcasted_iota(jnp.float32, (s, k), 1)
+    kk = fiota((s, k), 1)
     t_k = kk - jnp.sum(oh_r * pb, axis=2)  # within-row target rank
-    r_k = jnp.sum(
-        oh_r * jax.lax.broadcasted_iota(jnp.float32, (s, k, r), 2), axis=2
-    )
+    r_k = jnp.sum(oh_r * fiota((s, k, r), 2), axis=2)
     pick = sel_k * (w_k == t_k[:, :, None]).astype(jnp.float32)  # [S,K,128]
-    lane = jnp.sum(
-        pick * jax.lax.broadcasted_iota(jnp.float32, (s, k, LANES), 2), axis=2
-    )
+    lane = jnp.sum(pick * fiota((s, k, LANES), 2), axis=2)
     vals_ref[:] = jnp.sum(pick * x_k, axis=2)
     idx_ref[:] = (r_k * LANES + lane + 0.5).astype(jnp.int32)
 
