@@ -2,6 +2,12 @@
 configuration (6x6, 128 parallel games, Gumbel-SH k=64, budget=768,
 16x256 ResNet + SimHash novelty), on whatever accelerator JAX sees.
 
+This measures the EXACT device program drivers/selfplay.py dispatches per
+move — SelfplayEngine's jitted move (search + move select + cross-move
+tree descent with the flagship 256-child slots and reuse-sized pool +
+the packed int32 host export) — not a lighter fresh-tree approximation,
+so the headline number is what the real actor achieves minus file I/O.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -14,7 +20,8 @@ BASELINE.json — vs_baseline is measured sims/s over that. Falls back to
 1.0 if the anchor has not been recorded.
 
 Env overrides: TAKZERO_BENCH_BATCH, TAKZERO_BENCH_BUDGET,
-TAKZERO_BENCH_MOVES, TAKZERO_BENCH_FILTERS, TAKZERO_BENCH_BLOCKS.
+TAKZERO_BENCH_MOVES, TAKZERO_BENCH_FILTERS, TAKZERO_BENCH_BLOCKS,
+TAKZERO_BENCH_CHILDREN, TAKZERO_BENCH_REUSE (0 disables tree reuse).
 """
 
 from __future__ import annotations
@@ -27,12 +34,12 @@ import time
 
 def main() -> None:
     import jax
+    import numpy as np
 
+    from takzero_tpu.config import selfplay_preset
     from takzero_tpu.models.agent import make_net_evaluate, new_agent
     from takzero_tpu.models.network import NetConfig
-    from takzero_tpu.search.gumbel import make_gumbel_search
-    from takzero_tpu.search.openings import make_new_opening
-    from takzero_tpu.search.tree import init_tree
+    from takzero_tpu.selfplay import SelfplayEngine
     from takzero_tpu.tak import engine
 
     batch = int(os.environ.get("TAKZERO_BENCH_BATCH", 128))
@@ -41,6 +48,8 @@ def main() -> None:
     moves = int(os.environ.get("TAKZERO_BENCH_MOVES", 2))
     filters = int(os.environ.get("TAKZERO_BENCH_FILTERS", 256))
     blocks = int(os.environ.get("TAKZERO_BENCH_BLOCKS", 16))
+    children = os.environ.get("TAKZERO_BENCH_CHILDREN")
+    reuse = os.environ.get("TAKZERO_BENCH_REUSE", "1") != "0"
 
     cfg = NetConfig(
         n=6, half_komi=4, filters=filters, blocks=blocks,
@@ -50,34 +59,32 @@ def main() -> None:
     bundle = new_agent(cfg, seed=0)
     evaluator = make_net_evaluate(cfg, eng)
 
-    def search_step(tree, key, bundle):
-        search = make_gumbel_search(
-            eng,
-            lambda envs: evaluator(bundle, envs),
-            sampled,
-            budget,
-            max_depth=48,
-        )
-        return search(tree, key, 0.0)
-
-    search_jit = jax.jit(search_step)
-
-    opening = make_new_opening(eng, random_steps=4)
-    envs = opening(jax.random.PRNGKey(0), batch)
-    tree0 = init_tree(eng, envs, budget + 8, 128)
-
-    import numpy as np
+    # The flagship selfplay preset (selfplay/src/main.rs:36-52): 256 child
+    # slots at 6x6, reuse-doubled node pool, budget 768, k=64.
+    overrides = dict(
+        batch=batch, search_budget=budget, sampled_actions=sampled,
+        tree_reuse=reuse,
+    )
+    if children:
+        overrides["max_children"] = int(children)
+    sp_cfg = selfplay_preset("net6_simhash", **overrides)
+    sp = SelfplayEngine(eng, sp_cfg, evaluator)
+    sp.reset(jax.random.PRNGKey(0))
+    envs, tree = sp.envs, sp.tree
 
     # Warmup (compile). NOTE: under the axon remote backend,
     # block_until_ready does not await remote execution — a host transfer
-    # does, so force one for honest timing.
-    tree, slot = search_jit(tree0, jax.random.PRNGKey(1), bundle)
-    np.asarray(slot)
+    # does; the packed buffer transfer below is also exactly the readback
+    # the driver performs each move.
+    envs, tree, packed, _ = sp._move(envs, tree, bundle, jax.random.PRNGKey(1))
+    np.asarray(packed)
 
     t0 = time.perf_counter()
     for i in range(moves):
-        tree, slot = search_jit(tree0, jax.random.PRNGKey(2 + i), bundle)
-        np.asarray(slot)
+        envs, tree, packed, _ = sp._move(
+            envs, tree, bundle, jax.random.PRNGKey(2 + i)
+        )
+        np.asarray(packed)
     dt = time.perf_counter() - t0
 
     sims_per_move = (budget + 1) * batch  # +1 root-init simulation
@@ -99,7 +106,12 @@ def main() -> None:
             {
                 "metric": "mcts_sims_per_s_selfplay_6x6",
                 "value": round(sims_per_s, 1),
-                "unit": "simulations/s (batch=128, k=64, budget=768, 16x256 net)",
+                "unit": (
+                    f"simulations/s (batch={batch}, k={sampled}, "
+                    f"budget={budget}, {blocks}x{filters} net, "
+                    f"C={sp_cfg.max_children}, reuse={int(reuse)}; "
+                    "full driver move program)"
+                ),
                 "vs_baseline": vs_baseline,
             }
         )

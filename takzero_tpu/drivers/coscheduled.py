@@ -18,10 +18,21 @@ a co-scheduled run unchanged.  (The in-process novelty bitset needs no
 log replay at all — search and training literally share the device
 array.)
 
+``--reanalyze`` folds the reference's third process into the same
+schedule: replay positions are exploded in-process, and once the position
+store reaches ``--reanalyze-min-positions`` (reanalyze/src/main.rs:38) one
+fresh-tree β=0 reanalyze batch runs per selfplay move; after
+``--steps-before-reanalyze`` optimizer steps (learn/src/main.rs:54-58) the
+train batches switch to the reference's 64+64 selfplay+reanalyze mix —
+the full learner/actor/reanalyze topology on one device mesh.
+``--pretrain-steps`` reproduces the learner's random-playout pre-training
+phase (learn/src/main.rs:139-171) before the loop starts.
+
 Usage:
     python -m takzero_tpu.drivers.coscheduled --directory DIR
         [--net net6_simhash] [--devices N] [--steps-per-move K]
         [--max-moves N] [--batch B] [--budget N] [--sampled K]
+        [--reanalyze] [--pretrain-steps N]
 """
 
 from __future__ import annotations
@@ -69,6 +80,25 @@ def main(argv=None) -> None:
         help="immutable checkpoint cadence (default 50000); lower it to "
         "give tools/elo_curve.py more points",
     )
+    parser.add_argument(
+        "--reanalyze", action="store_true",
+        help="run the reanalyze actor in-process: one fresh-tree beta=0 "
+        "batch per move once enough replay positions exist, mixed 64+64 "
+        "into train batches after --steps-before-reanalyze",
+    )
+    parser.add_argument("--steps-before-reanalyze", type=int, default=None)
+    parser.add_argument(
+        "--reanalyze-min-positions", type=int, default=None,
+        help="replay positions required before reanalyze starts "
+        "(default 128000, reanalyze/src/main.rs:38)",
+    )
+    parser.add_argument("--reanalyze-batch", type=int, default=None)
+    parser.add_argument(
+        "--pretrain-steps", type=int, default=0,
+        help="pre-training optimizer steps on random-playout targets "
+        "before the loop (learn/src/main.rs:139-171); 0 disables",
+    )
+    parser.add_argument("--pretrain-targets", type=int, default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -78,6 +108,11 @@ def main(argv=None) -> None:
         batch_size=args.batch_size or LearnConfig.batch_size,
         steps_per_checkpoint=args.steps_per_checkpoint
         or LearnConfig.steps_per_checkpoint,
+        steps_before_reanalyze=args.steps_before_reanalyze
+        or LearnConfig.steps_before_reanalyze,
+        pre_training_steps=args.pretrain_steps,
+        initial_random_targets=args.pretrain_targets
+        or LearnConfig.initial_random_targets,
     )
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -146,7 +181,78 @@ def main(argv=None) -> None:
             return batch
         return pm.shard_batch(mesh, batch)
 
+    boot_idx: list = []
+    if steps == 0 and cfg.pre_training_steps > 0:
+        # Learner pre-training phase (learn/src/main.rs:139-171): random
+        # playout targets, value+policy only (no UBE).
+        from ..train.data import make_batch, random_pretraining_targets
+
+        log.info(
+            "pre-training %d steps on %d random targets",
+            cfg.pre_training_steps, cfg.initial_random_targets,
+        )
+        pre = random_pretraining_targets(eng, cfg.initial_random_targets, rng)
+        co.append_lines(
+            args.directory, co.TARGETS_INITIAL, [t.to_line() for t in pre]
+        )
+        rng.shuffle(pre)
+        for i in range(cfg.pre_training_steps):
+            chunk = pre[i * cfg.batch_size : (i + 1) * cfg.batch_size]
+            if len(chunk) < cfg.batch_size:
+                break
+            batch = place_batch(make_batch(eng, chunk, rng))
+            if idx_fn is not None:
+                boot_idx.append(idx_fn(bundle, batch.planes))
+            bundle, opt_state, m = train_step(
+                bundle, opt_state, batch, train_ube=False
+            )
+            if i % 100 == 0:
+                log.info("pretrain %d: %s", i, jax.tree.map(float, m))
+            steps += 1
+        if boot_idx:
+            ckpt.append_hash_indices(
+                args.directory,
+                np.concatenate(
+                    [ckpt.fresh_indices(i, f) for i, f in boot_idx]
+                ),
+            )
+        ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
+
     buffer = TargetBuffer(rng)
+    re_buffer = TargetBuffer(rng)
+    re_cfg = None
+    if args.reanalyze:
+        from ..config import ReanalyzeConfig
+        from ..data import native_loader as nl
+        from ..data.buffer import PositionBuffer
+        from ..reanalyze import build_targets, make_reanalyze_step
+        from ..tak import state_to_tps
+        from ..tak.oracle import Oracle
+        from .reanalyze import explode_replays
+
+        re_cfg = ReanalyzeConfig(
+            batch_size=args.reanalyze_batch or ReanalyzeConfig.batch_size,
+            search_budget=sp_cfg.search_budget,
+            sampled_actions=sp_cfg.sampled_actions,
+            min_positions=(
+                args.reanalyze_min_positions
+                if args.reanalyze_min_positions is not None
+                else ReanalyzeConfig.min_positions
+            ),
+        )
+        re_step = jax.jit(
+            make_reanalyze_step(
+                eng,
+                evaluator,
+                re_cfg.sampled_actions,
+                re_cfg.search_budget,
+                max(re_cfg.max_children, sp_cfg.max_children),
+                re_cfg.max_depth,
+                re_cfg.ube_target_beta,
+            )
+        )
+        re_positions = PositionBuffer(rng)
+        re_oracle = Oracle(net_cfg.n, net_cfg.half_komi)
     saver = ckpt.AsyncSaver()
     moves = 0
     trained_lines: list = []
@@ -157,9 +263,10 @@ def main(argv=None) -> None:
         targets, replays, exploration_replays = sp.play_move(bundle, k_move)
         lines = [t.to_line() for t in targets]
         buffer.extend(lines, cfg.selfplay_forced_uses, steps)
+        replay_lines = [r.to_line() for r in replays]
         for name, items in (
             (co.TARGETS_SELFPLAY, lines),
-            (co.REPLAYS, [r.to_line() for r in replays]),
+            (co.REPLAYS, replay_lines),
             (
                 co.REPLAYS_EXPLORATION,
                 [r.to_line() for r in exploration_replays],
@@ -168,13 +275,61 @@ def main(argv=None) -> None:
             if items:
                 co.append_lines(args.directory, name, items)
 
+        re_targets = 0
+        if args.reanalyze:
+            if replay_lines:
+                re_positions.extend(explode_replays(eng, replay_lines))
+            if (
+                len(re_positions) >= re_cfg.min_positions
+                and len(re_buffer) < re_cfg.max_reanalyze_buffer
+            ):
+                rows = np.stack(re_positions.sample(re_cfg.batch_size))
+                states = nl.unpack_states(net_cfg.n, rows)
+                tps_batch = [
+                    state_to_tps(
+                        net_cfg.n, jax.tree.map(lambda x, i=i: x[i], states)
+                    )
+                    for i in range(rows.shape[0])
+                ]
+                key, k_re = jax.random.split(key)
+                batch_states = jax.tree.map(jax.numpy.asarray, states)
+                if mesh is not None:
+                    batch_states = pm.shard_batch(mesh, batch_states)
+                _, pol, child_actions, ube, value, incomplete = re_step(
+                    batch_states, bundle, k_re
+                )
+                re_lines = [
+                    t.to_line()
+                    for t in build_targets(
+                        net_cfg.n, tps_batch, pol, child_actions, ube,
+                        value, incomplete=incomplete, oracle=re_oracle,
+                    )
+                ]
+                re_buffer.extend(re_lines, cfg.reanalyze_forced_uses, steps)
+                co.append_lines(args.directory, co.TARGETS_REANALYZE, re_lines)
+                re_targets = len(re_lines)
+
         t_move = time.time() - t0
         trained = 0
         for _ in range(args.steps_per_move):
-            if len(buffer) < cfg.batch_size:
-                break
+            # After the reanalyze switch-on the reference learner only
+            # trains on mixed 64+64 batches, sleeping while either stream
+            # is starved (learn/src/main.rs:54-58) — here a starved stream
+            # skips the step and selfplay/reanalyze continue filling.
+            mix = args.reanalyze and steps + 1 >= cfg.steps_before_reanalyze
+            if mix:
+                half = cfg.batch_size // 2
+                if len(buffer) < half or len(re_buffer) < half:
+                    break
+                drained = buffer.drain_batch(half) + re_buffer.drain_batch(
+                    half
+                )
+            else:
+                if len(buffer) < cfg.batch_size:
+                    break
+                drained = buffer.drain_batch(cfg.batch_size)
             batch = place_batch(make_batch_native(
-                eng, "\n".join(buffer.drain_batch(cfg.batch_size)) + "\n", rng
+                eng, "\n".join(drained) + "\n", rng
             ))
             if idx_fn is not None:
                 trained_lines.append(idx_fn(bundle, batch.planes))
@@ -203,12 +358,14 @@ def main(argv=None) -> None:
                 )
             if at_ckpt:
                 saver.submit(args.directory, f"model_{steps:07d}.ckpt", bundle)
-        co.write_buffer_lengths(args.directory, len(buffer), 0)
+        co.write_buffer_lengths(args.directory, len(buffer), len(re_buffer))
         log.info(
             "move %d: %.2fs search (+%d train steps, %.2fs total); "
-            "buffer=%d, %d targets, %d replays, model step %d",
+            "buffer=%d re_buffer=%d, %d targets, %d re-targets, "
+            "%d replays, model step %d",
             moves, t_move, trained, time.time() - t0,
-            len(buffer), len(targets), len(replays), steps,
+            len(buffer), len(re_buffer), len(targets), re_targets,
+            len(replays), steps,
         )
 
     if trained_lines:

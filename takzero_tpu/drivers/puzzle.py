@@ -116,6 +116,7 @@ def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key,
         flags = np.asarray(tree.root_flag)
         ch_flags = np.asarray(tree.child_flag[:, 0, :])
         ch_valid = np.asarray(tree.child_action[:, 0, :] >= 0)
+        root_complete = ~np.asarray(tree.node_incomplete[:, 0])
         trunc = np.asarray(truncation_stats(tree))[: len(chunk)]
         result.nodes += int(trunc[:, 0].sum())
         result.nodes_incomplete += int(trunc[:, 1].sum())
@@ -131,8 +132,15 @@ def benchmark(eng, search_jit, bundle, puzzles, win: bool, n: int, key,
             if win:
                 proven = flags[g] == ev.WIN
             else:
+                # The reference stores ALL root children, so its
+                # all-but-one check is exhaustive (puzzle/src/main.rs:
+                # 238-259).  Here the root may truncate to C slots —
+                # an avoidance proof is only sound when every legal
+                # move was actually examined, so gate on completeness.
                 wins = int(((ch_flags[g] == ev.WIN) & ch_valid[g]).sum())
-                proven = wins == int(ch_valid[g].sum()) - 1
+                proven = bool(root_complete[g]) and (
+                    wins == int(ch_valid[g].sum()) - 1
+                )
             if proven:
                 result.proven += 1
             log.debug(

@@ -61,6 +61,27 @@ def test_coscheduled_single_device(tmp_path):
     check_artifacts(tmp_path)
 
 
+def test_coscheduled_reanalyze(tmp_path):
+    """--reanalyze: the full reference topology in one process — random
+    pre-training, selfplay targets, reanalyze joining at its position
+    threshold, mixed 64+64 train batches after --steps-before-reanalyze."""
+    run(tmp_path, [
+        "--reanalyze", "--reanalyze-min-positions", "16",
+        "--reanalyze-batch", "8", "--steps-before-reanalyze", "4",
+        "--pretrain-steps", "2", "--pretrain-targets", "32",
+    ])
+    steps = check_artifacts(tmp_path)
+    assert steps > 4, "expected training past the reanalyze switch-on"
+    assert (tmp_path / co.TARGETS_INITIAL).exists()  # pre-training targets
+    re_lines = (tmp_path / co.TARGETS_REANALYZE).read_text().splitlines()
+    assert re_lines, "reanalyze produced no targets"
+    # Reanalyze target lines carry the reference wire format (parseable
+    # by the same validator the learner uses).
+    from takzero_tpu.data.native_loader import valid_target_lines
+
+    assert len(valid_target_lines(3, re_lines)) == len(re_lines)
+
+
 def test_coscheduled_mesh(tmp_path):
     """Same driver sharded over 2 of the virtual CPU devices."""
     run(tmp_path, ["--devices", "2"])
