@@ -35,6 +35,8 @@ def _lib() -> ctypes.CDLL:
     lib.tak_num_actions.restype = ctypes.c_int
     lib.tak_result.restype = ctypes.c_int
     lib.tak_random_playout.restype = ctypes.c_int
+    lib.tak_tinue_depth.restype = ctypes.c_int
+    lib.tak_loses_within.restype = ctypes.c_int
     return lib
 
 
@@ -129,3 +131,46 @@ class Oracle:
             ctypes.byref(res),
         )
         return unpack_state(self.n, buf), actions[:plies].tolist(), res.value
+
+    def tinue_depth(
+        self, state: TakState, max_depth: int, node_budget: int = 50_000_000
+    ) -> int:
+        """Minimal odd d <= max_depth such that the side to move forces a
+        win (exact full-width search, cpp/tak_solver.cpp); 0 if none, -1
+        if the node budget was exhausted (unknown)."""
+        buf = pack_state(self.n, state)
+        return self._lib.tak_tinue_depth(
+            *self._args(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(int(max_depth)),
+            ctypes.c_int64(int(node_budget)),
+        )
+
+    def loses_within(
+        self, state: TakState, depth: int, node_budget: int = 50_000_000
+    ) -> int:
+        """1 if the side to move is LOST within `depth` plies (every move
+        leads to a forced opponent win), 0 if not, -1 if unknown."""
+        buf = pack_state(self.n, state)
+        return self._lib.tak_loses_within(
+            *self._args(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(int(depth)),
+            ctypes.c_int64(int(node_budget)),
+        )
+
+    def avoidance_status(
+        self, state: TakState, max_depth: int, node_budget: int = 50_000_000
+    ) -> np.ndarray:
+        """Per-action labels: -1 illegal, -2 survives, -3 unknown, k >= 0
+        the opponent forces a win in minimally k plies after the move."""
+        buf = pack_state(self.n, state)
+        out = np.zeros(self.num_actions, dtype=np.int32)
+        self._lib.tak_avoidance_status(
+            *self._args(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(int(max_depth)),
+            ctypes.c_int64(int(node_budget)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out

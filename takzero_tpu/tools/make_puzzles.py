@@ -2,15 +2,25 @@
 
 The reference consumes an externally-built SQLite DB of 6x6 tinue
 (win-in-N) and tinue-avoidance puzzles (puzzle/src/main.rs:132-166); this
-tool builds one natively: random games played by the C++ oracle provide
-candidate positions, and the device-side exact solver (dummy-agent
-batched MCTS — pure win/loss/draw proving) labels them:
+tool builds one natively in three stages:
 
-* tinue depth d (odd): root proven Win(d); solution = a child proven
-  Loss(d-1);
-* tinue avoidance depth d (even): root not proven, every child except
-  exactly one proven Win (a loss for the mover); solution = the survivor;
-  d = deepest threatened win + 1.
+1. CANDIDATES: random games played by the C++ oracle; positions from the
+   last ``--endgame-window`` plies of decisive games (where forced wins
+   concentrate), with the reference's both-capstones-placed filter.
+2. DEVICE PROVER: the batched exact solver (dummy-agent MCTS — pure
+   win/loss/draw proving) flags roots proven Win (tinue candidates) and
+   unproven roots with all-but-one stored children proven Win (avoidance
+   candidates).  A second pass re-solves unproven candidates at
+   ``--deep-budget`` to reach depth-7/9 proofs.
+3. EXACT VERIFICATION (``cpp/tak_solver.cpp``): every candidate is
+   re-solved full-width on the host — iterative deepening gives the
+   MINIMAL tinue depth (the device prover's proof distance is only an
+   upper bound), the stored solution is validated, and avoidance
+   positions are checked over ALL legal moves (the device tree may
+   truncate children, which is exactly where its "all-but-one lose"
+   evidence is unsound).  Each verified tinue's predecessor position is
+   additionally screened as an avoidance candidate (one ply earlier, the
+   defender usually had to avoid this exact tinue).
 
 Schema matches the queries in drivers/puzzle.py: ``games(id, size)`` and
 ``puzzles(game_id, tps, solution, tinue_length, tinue_avoidance_length,
@@ -18,13 +28,14 @@ tiltak_2komi_eval, tiltak_2komi_second_move_eval)`` (eval columns written
 as 0.0 — they are external-engine filters in the reference data).
 
     python -m takzero_tpu.tools.make_puzzles --out puzzles.db --size 6 \
-        --games 64 --budget 4096 --min-ply 14
+        --games 256 --budget 8192 --target 50
 """
 
 from __future__ import annotations
 
 import argparse
 import sqlite3
+import time
 
 import numpy as np
 
@@ -40,27 +51,43 @@ from ..tak.oracle import Oracle
 from ..train.data import _host_opening, stack_states
 
 
-def candidate_positions(eng, games: int, min_ply: int, rng, need_caps: bool):
-    """(state, game_id) candidates from random oracle games."""
+def candidate_positions(eng, games: int, min_ply: int, rng, need_caps: bool,
+                        endgame_window: int = 0):
+    """[(state, game_id, prev_state)] candidates from random oracle games.
+
+    With ``endgame_window`` > 0, only decisive games contribute, and only
+    their last `window` positions — forced wins live near the end.
+    ``prev_state`` (one ply earlier, None at the game start) seeds the
+    avoidance screen for verified tinues.
+    """
     orc = Oracle(eng.n, eng.half_komi, eng.reversible_limit)
     out = []
     for g in range(games):
         state = _host_opening(eng, orc, rng)
-        _, actions, _ = orc.random_playout(
+        _, actions, res = orc.random_playout(
             state, seed=int(rng.integers(1, 2**31)), max_plies=200
         )
+        if endgame_window and res not in (0, 1):
+            continue
+        states = [state]
         cur = state
         for a in actions:
-            if int(cur.ply) >= min_ply:
-                if not need_caps or (
-                    (np.asarray(cur.tops) == 3).sum() >= 2
-                ):
-                    out.append((cur, g))
             cur = orc.step(cur, int(a))
+            states.append(cur)
+        lo = 0
+        if endgame_window:
+            lo = max(0, len(states) - 1 - endgame_window)
+        for i in range(lo, len(states) - 1):  # last entry is terminal
+            cur = states[i]
+            if int(cur.ply) < min_ply:
+                continue
+            if need_caps and (np.asarray(cur.tops) == 3).sum() < 2:
+                continue
+            out.append((cur, g, states[i - 1] if i else None))
     return out
 
 
-def make_solver(eng, budget: int, max_children: int):
+def make_solver(eng, budget: int, batch: int, max_children: int):
     """Build `solve(states) -> tree` ONCE per config: the exact solver
     (uniform-policy search).  Built per chunk, the fresh jit closure
     would retrace + recompile the whole budget-wide fori_loop program for
@@ -78,6 +105,9 @@ def make_solver(eng, budget: int, max_children: int):
         return jax.lax.fori_loop(0, budget // k, body, tree)
 
     def solve(states):
+        states = list(states)
+        pad = batch - len(states)
+        states = states + [states[-1]] * pad
         envs = jax.tree.map(jnp.asarray, stack_states(states))
         tree = init_tree(eng, envs, budget + 8, max_children)
         return run(tree)
@@ -85,32 +115,133 @@ def make_solver(eng, budget: int, max_children: int):
     return solve
 
 
-def extract_puzzles(eng, tree, tinue_depths, avoidance_depths):
-    """[(lane, solution_action, tinue_len, avoidance_len)] from a solved batch."""
-    n = eng.n
+def extract_candidates(tree):
+    """(win_lanes, avoid_lanes) from a solved batch.
+
+    win lanes: root proven Win — exact depth assigned later by the host
+    verifier (the device proof's ply is an upper bound only).
+    avoid lanes: root unproven, >= 1 stored child proven Win and exactly
+    one stored child not — subject to full-width host verification.
+    """
     root_flag = np.asarray(tree.root_flag)
-    root_ply = np.asarray(tree.root_ply)
     ca = np.asarray(tree.child_action[:, 0, :])
     cf = np.asarray(tree.child_flag[:, 0, :])
-    cp = np.asarray(tree.child_ply[:, 0, :])
-    out = []
+    win_lanes, avoid_lanes = [], []
     for b in range(root_flag.shape[0]):
         valid = ca[b] >= 0
         if not valid.any():
             continue
-        if root_flag[b] == ev.WIN and int(root_ply[b]) in tinue_depths:
-            d = int(root_ply[b])
-            sols = np.nonzero(valid & (cf[b] == ev.LOSS) & (cp[b] == d - 1))[0]
-            if len(sols):
-                out.append((b, int(ca[b][sols[0]]), d, None))
+        if root_flag[b] == ev.WIN:
+            win_lanes.append(b)
         elif root_flag[b] == ev.VALUE:
             losing = valid & (cf[b] == ev.WIN)
-            survivors = np.nonzero(valid & ~losing)[0]
-            if losing.sum() >= 1 and len(survivors) == 1:
-                d = int(cp[b][losing].max()) + 1
-                if d in avoidance_depths:
-                    out.append((b, int(ca[b][survivors[0]]), None, d))
-    return out
+            if losing.sum() >= 1 and (valid & ~losing).sum() == 1:
+                avoid_lanes.append(b)
+    return win_lanes, avoid_lanes
+
+
+class Writer:
+    """Collects verified puzzles; one game row per contributing game."""
+
+    def __init__(self, con, size: int, tinue_depths, avoidance_depths,
+                 target: int):
+        self.con = con
+        self.size = size
+        self.counts = {("t", d): 0 for d in sorted(tinue_depths)}
+        self.counts.update({("a", d): 0 for d in sorted(avoidance_depths)})
+        self.target = target
+        self.seen_games = set()
+        self.seen_tps = set()
+        game_base = con.execute(
+            "SELECT COALESCE(MAX(id) + 1, 0) FROM games"
+        ).fetchone()[0]
+        self.game_base = game_base
+        for (kind, depth), have in self.existing().items():
+            if (kind, depth) in self.counts:
+                self.counts[(kind, depth)] = have
+
+    def existing(self):
+        rows = self.con.execute(
+            "SELECT tinue_length, tinue_avoidance_length, COUNT(*) FROM"
+            " puzzles JOIN games ON puzzles.game_id = games.id WHERE"
+            " games.size = ? GROUP BY 1, 2", (self.size,)
+        ).fetchall()
+        out = {}
+        for tl, al, cnt in rows:
+            out[("t", tl) if tl is not None else ("a", al)] = cnt
+        for (tps,) in self.con.execute("SELECT tps FROM puzzles"):
+            self.seen_tps.add(tps)
+        return out
+
+    def want(self, kind: str, depth: int) -> bool:
+        c = self.counts.get((kind, depth))
+        return c is not None and c < self.target
+
+    def done(self) -> bool:
+        return all(c >= self.target for c in self.counts.values())
+
+    def add(self, game_id: int, tps: str, solution: str, kind: str,
+            depth: int) -> bool:
+        if tps in self.seen_tps or not self.want(kind, depth):
+            return False
+        self.seen_tps.add(tps)
+        gid = game_id + self.game_base
+        if gid not in self.seen_games:
+            self.seen_games.add(gid)
+            self.con.execute(
+                "INSERT INTO games VALUES (?, ?)", (gid, self.size)
+            )
+        self.con.execute(
+            "INSERT INTO puzzles VALUES (?, ?, ?, ?, ?, 0.0, 0.0)",
+            (gid, tps, solution,
+             depth if kind == "t" else None,
+             depth if kind == "a" else None),
+        )
+        self.counts[(kind, depth)] += 1
+        return True
+
+    def summary(self) -> str:
+        return " ".join(
+            f"{'tinue' if k == 't' else 'avoid'}{d}={c}"
+            for (k, d), c in sorted(self.counts.items())
+        )
+
+
+def verify_tinue(orc, state, max_depth: int, node_budget: int):
+    """(exact_depth, solution_action) or None — full-width host proof.
+
+    ``tinue_depth`` deepens over odd depths, so d is MINIMAL; the witness
+    move is any a with the opponent lost within d-1 (d=1: an immediate
+    terminal win — no deeper mate-in-1 can exist at minimal d > 1).
+    """
+    d = orc.tinue_depth(state, max_depth, node_budget)
+    if d <= 0:
+        return None
+    for a in np.nonzero(orc.legal_mask(state))[0]:
+        nxt = orc.step(state, int(a))
+        if d == 1:
+            if orc.result(nxt) == int(state.to_move):
+                return d, int(a)
+        elif orc.result(nxt) == -1 and (
+            orc.loses_within(nxt, d - 1, node_budget) == 1
+        ):
+            return d, int(a)
+    return None  # proof existed but no witness within budget: discard
+
+
+def verify_avoidance(orc, state, depths, node_budget: int):
+    """(depth, solution_action) or None — checks ALL legal moves."""
+    max_threat = max(depths) - 1
+    status = orc.avoidance_status(state, max_threat, node_budget)
+    legal = status >= -2
+    if (status[legal] == -3).any():
+        return None  # some move unknown within budget: not provable
+    survivors = np.nonzero(status == -2)[0]
+    losing = status >= 0
+    if len(survivors) != 1 or losing.sum() != legal.sum() - 1:
+        return None
+    d = int(status[losing].max()) + 1
+    return (d, int(survivors[0])) if d in depths else None
 
 
 def main(argv=None) -> None:
@@ -118,20 +249,41 @@ def main(argv=None) -> None:
     parser.add_argument("--out", default="puzzles.db")
     parser.add_argument("--size", type=int, default=6)
     parser.add_argument("--half-komi", type=int, default=4)
-    parser.add_argument("--games", type=int, default=64)
+    parser.add_argument("--games", type=int, default=256)
     parser.add_argument("--min-ply", type=int, default=14)
-    parser.add_argument("--budget", type=int, default=4096)
+    parser.add_argument("--endgame-window", type=int, default=14,
+                        help="use only the last N plies of decisive games"
+                        " (0: every position past --min-ply)")
+    parser.add_argument("--budget", type=int, default=8192)
     parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--deep-budget", type=int, default=32768,
+                        help="second-pass budget for lanes the first pass"
+                        " left unproven (0 disables the pass)")
+    parser.add_argument("--deep-batch", type=int, default=16)
     parser.add_argument("--max-children", type=int, default=128)
     parser.add_argument("--tinue-depths", default="3,5,7,9")
     parser.add_argument("--avoidance-depths", default="2,4,6")
+    parser.add_argument("--target", type=int, default=50,
+                        help="stop once every category holds this many")
+    parser.add_argument("--verify-nodes", type=int, default=20_000_000,
+                        help="host verifier node budget per deepening"
+                        " iteration; exhausted searches discard the"
+                        " candidate")
+    parser.add_argument("--no-verify", action="store_true",
+                        help="trust device proofs/depths (test scale only;"
+                        " depth labels become upper bounds and truncated"
+                        " avoidance roots are NOT re-checked)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--time-limit", type=float, default=None,
+                        help="stop cleanly after this many seconds")
     args = parser.parse_args(argv)
 
     eng = engine(args.size, half_komi=args.half_komi)
+    orc = Oracle(args.size, args.half_komi, eng.reversible_limit)
     rng = np.random.default_rng(args.seed)
     tinue_depths = {int(x) for x in args.tinue_depths.split(",")}
     avoidance_depths = {int(x) for x in args.avoidance_depths.split(",")}
+    max_tinue = max(tinue_depths)
 
     con = sqlite3.connect(args.out)
     con.execute("CREATE TABLE IF NOT EXISTS games (id INTEGER PRIMARY KEY, size INTEGER)")
@@ -141,49 +293,136 @@ def main(argv=None) -> None:
             tinue_length INTEGER, tinue_avoidance_length INTEGER,
             tiltak_2komi_eval REAL, tiltak_2komi_second_move_eval REAL)"""
     )
+    w = Writer(con, args.size, tinue_depths, avoidance_depths, args.target)
+    t_start = time.time()
 
-    # Growing an existing DB: our fresh game ids restart at 0, so offset
-    # them past whatever the games PRIMARY KEY already holds.
-    game_base = con.execute(
-        "SELECT COALESCE(MAX(id) + 1, 0) FROM games"
-    ).fetchone()[0]
+    def out_of_time():
+        return (
+            args.time_limit is not None
+            and time.time() - t_start > args.time_limit
+        )
 
     cands = candidate_positions(
-        eng, args.games, args.min_ply, rng, need_caps=args.size >= 5
+        eng, args.games, args.min_ply, rng, need_caps=args.size >= 5,
+        endgame_window=args.endgame_window,
     )
     rng.shuffle(cands)
     print(f"{len(cands)} candidate positions from {args.games} games")
-    solve = make_solver(eng, args.budget, args.max_children)
-    seen_games = set()
-    found = 0
-    for i in range(0, len(cands) - args.batch + 1, args.batch):
-        chunk = cands[i : i + args.batch]
-        tree = solve([s for s, _ in chunk])
-        for lane, action, tl, al in extract_puzzles(
-            eng, tree, tinue_depths, avoidance_depths
-        ):
-            state, game_id = chunk[lane]
-            game_id += game_base
-            if game_id not in seen_games:
-                seen_games.add(game_id)
-                con.execute(
-                    "INSERT INTO games VALUES (?, ?)", (game_id, args.size)
+    solve = make_solver(eng, args.budget, args.batch, args.max_children)
+    deep_solve = None
+    if args.deep_budget:
+        deep_solve = make_solver(
+            eng, args.deep_budget, args.deep_batch, args.max_children
+        )
+
+    def verify_and_write(kind, lane_idx, chunk):
+        """Host-verify one candidate lane and insert it if it fits."""
+        state, game_id, prev = chunk[lane_idx]
+        tps = state_to_tps(eng.n, state)
+        if tps in w.seen_tps:
+            return
+        if kind == "t":
+            if args.no_verify:
+                return  # device path writes directly (below)
+            got = verify_tinue(orc, state, max_tinue, args.verify_nodes)
+            if got is None:
+                return
+            d, sol = got
+            if w.want("t", d):
+                w.add(game_id, tps, action_to_ptn(eng.n, sol), "t", d)
+            # One ply earlier the defender had to avoid this exact tinue:
+            # the highest-yield avoidance screen.
+            if prev is not None and any(
+                w.want("a", ad) for ad in avoidance_depths
+            ):
+                got_a = verify_avoidance(
+                    orc, prev, avoidance_depths, args.verify_nodes
                 )
-            con.execute(
-                "INSERT INTO puzzles VALUES (?, ?, ?, ?, ?, 0.0, 0.0)",
-                (
-                    game_id,
-                    state_to_tps(eng.n, state),
-                    action_to_ptn(eng.n, action),
-                    tl,
-                    al,
-                ),
+                if got_a is not None:
+                    w.add(
+                        game_id, state_to_tps(eng.n, prev),
+                        action_to_ptn(eng.n, got_a[1]), "a", got_a[0],
+                    )
+        else:
+            if args.no_verify:
+                return
+            got = verify_avoidance(
+                orc, state, avoidance_depths, args.verify_nodes
             )
-            found += 1
+            if got is not None:
+                w.add(game_id, tps, action_to_ptn(eng.n, got[1]), "a", got[0])
+
+    def device_write(tree, chunk, lanes_win, lanes_avoid):
+        """--no-verify path: trust device proofs (the old behavior)."""
+        root_ply = np.asarray(tree.root_ply)
+        ca = np.asarray(tree.child_action[:, 0, :])
+        cf = np.asarray(tree.child_flag[:, 0, :])
+        cp = np.asarray(tree.child_ply[:, 0, :])
+        for b in lanes_win:
+            state, game_id, _ = chunk[b]
+            valid = ca[b] >= 0
+            d = int(root_ply[b])
+            sols = np.nonzero(valid & (cf[b] == ev.WIN) & (cp[b] == d - 1))[0]
+            if d in tinue_depths and len(sols) and w.want("t", d):
+                w.add(game_id, state_to_tps(eng.n, state),
+                      action_to_ptn(eng.n, int(ca[b][sols[0]])), "t", d)
+        for b in lanes_avoid:
+            state, game_id, _ = chunk[b]
+            valid = ca[b] >= 0
+            losing = valid & (cf[b] == ev.WIN)
+            survivors = np.nonzero(valid & ~losing)[0]
+            d = int(cp[b][losing].max()) + 1
+            if d in avoidance_depths and w.want("a", d):
+                w.add(game_id, state_to_tps(eng.n, state),
+                      action_to_ptn(eng.n, int(ca[b][survivors[0]])), "a", d)
+
+    deep_later = []
+    batch_no = 0
+    for i in range(0, len(cands), args.batch):
+        if w.done() or out_of_time():
+            break
+        chunk = cands[i : i + args.batch]
+        tree = solve([s for s, _, _ in chunk])
+        lanes_win, lanes_avoid = extract_candidates(tree)
+        lanes_win = [b for b in lanes_win if b < len(chunk)]
+        lanes_avoid = [b for b in lanes_avoid if b < len(chunk)]
+        if args.no_verify:
+            device_write(tree, chunk, lanes_win, lanes_avoid)
+        else:
+            for b in lanes_win:
+                verify_and_write("t", b, chunk)
+            for b in lanes_avoid:
+                verify_and_write("a", b, chunk)
+            flagged = set(lanes_win) | set(lanes_avoid)
+            deep_later.extend(
+                c for b, c in enumerate(chunk) if b not in flagged
+            )
         con.commit()
-        print(f"batch {i // args.batch}: {found} puzzles so far")
+        batch_no += 1
+        if batch_no % 5 == 0 or w.done():
+            print(f"batch {batch_no}: {w.summary()}", flush=True)
+
+    # Deep pass: the first pass proved nothing on these lanes; a larger
+    # budget reaches depth-7/9 proof trees the short pass could not.
+    if deep_solve is not None and not args.no_verify:
+        rng.shuffle(deep_later)
+        for i in range(0, len(deep_later), args.deep_batch):
+            if w.done() or out_of_time():
+                break
+            chunk = deep_later[i : i + args.deep_batch]
+            tree = deep_solve([s for s, _, _ in chunk])
+            lanes_win, lanes_avoid = extract_candidates(tree)
+            for b in [b for b in lanes_win if b < len(chunk)]:
+                verify_and_write("t", b, chunk)
+            for b in [b for b in lanes_avoid if b < len(chunk)]:
+                verify_and_write("a", b, chunk)
+            con.commit()
+            print(f"deep batch {i // args.deep_batch}: {w.summary()}",
+                  flush=True)
+
+    con.commit()
     con.close()
-    print(f"wrote {found} puzzles -> {args.out}")
+    print(f"done in {time.time() - t_start:.0f}s: {w.summary()} -> {args.out}")
 
 
 if __name__ == "__main__":

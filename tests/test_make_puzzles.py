@@ -1,4 +1,5 @@
-"""Native puzzle-DB generator (tools/make_puzzles.py) at tiny scale."""
+"""Native puzzle-DB generator (tools/make_puzzles.py) at tiny scale, and
+the exact C++ tinue solver (cpp/tak_solver.cpp) it verifies with."""
 
 import sqlite3
 
@@ -21,8 +22,10 @@ def test_generate_and_validate_puzzles(tmp_path):
             "--half-komi", "0",
             "--games", "10",
             "--min-ply", "4",
+            "--endgame-window", "8",
             "--budget", "256",
             "--batch", "16",
+            "--deep-budget", "0",
             "--max-children", "48",
             "--tinue-depths", "1,3",
             "--avoidance-depths", "2",
@@ -44,3 +47,83 @@ def test_generate_and_validate_puzzles(tmp_path):
         mover = int(np.asarray(state.to_move))
         nxt = orc.step(state, ptn_to_action(3, sol))
         assert orc.result(nxt) == mover, (tps, sol)
+        # The exact solver agrees the minimal depth is 1.
+        assert orc.tinue_depth(state, 3, 1_000_000) == 1, tps
+
+
+def _random_states(orc, eng, seed, games=6):
+    import jax
+
+    s0 = jax.tree.map(np.asarray, eng.initial())
+    out = []
+    for g in range(games):
+        _, actions, res = orc.random_playout(s0, seed=seed + g)
+        cur = s0
+        states = [cur]
+        for a in actions:
+            cur = orc.step(cur, a)
+            states.append(cur)
+        out.append((states, res))
+    return out
+
+
+def test_solver_depth1_matches_brute_force():
+    """tak_tinue_depth(d<=1) == exists an immediately winning move, and
+    avoidance_status depth-1 labels match a brute-force move scan."""
+    eng = engine(3, half_komi=0)
+    orc = Oracle(3, 0, eng.reversible_limit)
+    checked = 0
+    for states, _res in _random_states(orc, eng, seed=40):
+        for st in states[:-1][-6:]:
+            legal = np.nonzero(orc.legal_mask(st))[0]
+            mover = int(np.asarray(st.to_move))
+            win1 = any(
+                orc.result(orc.step(st, int(a))) == mover for a in legal
+            )
+            d = orc.tinue_depth(st, 1, 1_000_000)
+            assert (d == 1) == win1, (d, win1)
+
+            status = orc.avoidance_status(st, 1, 1_000_000)
+            mask = orc.legal_mask(st)
+            assert (status[~mask] == -1).all()
+            for a in legal:
+                nxt = orc.step(st, int(a))
+                r = orc.result(nxt)
+                if r == 1 - mover:
+                    expect = 0  # the move hands the opponent the game
+                elif r != -1:
+                    expect = -2  # mover's own win or a draw: survived
+                else:
+                    expect = 1 if orc.tinue_depth(nxt, 1, 1_000_000) == 1 else -2
+                assert status[a] == expect, (int(a), status[a], expect)
+            checked += 1
+    assert checked >= 10
+
+
+def test_solver_minimality_and_witness():
+    """Where the solver claims depth d, a witness move exists whose
+    successor is lost within d-1, and no d-2 proof exists (minimality is
+    implied by iterative deepening — cross-check loses_within)."""
+    eng = engine(3, half_komi=0)
+    orc = Oracle(3, 0, eng.reversible_limit)
+    found = 0
+    for states, res in _random_states(orc, eng, seed=90, games=10):
+        if res not in (0, 1):
+            continue
+        for st in states[:-1][-5:]:
+            d = orc.tinue_depth(st, 5, 2_000_000)
+            if d < 3:
+                continue
+            legal = np.nonzero(orc.legal_mask(st))[0]
+            witnesses = [
+                int(a)
+                for a in legal
+                if orc.result(orc.step(st, int(a))) == -1
+                and orc.loses_within(orc.step(st, int(a)), d - 1, 2_000_000)
+                == 1
+            ]
+            assert witnesses, ("no witness at claimed depth", d)
+            # Minimality: no move forces the win two plies sooner.
+            assert orc.tinue_depth(st, d - 2, 2_000_000) == 0
+            found += 1
+    assert found >= 1, "expected at least one depth>=3 tinue in the sample"
