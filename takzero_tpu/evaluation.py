@@ -91,7 +91,10 @@ def make_compete(
         )
         tk = jnp.where(frozen, 0, terminal_b(nxt))
         if my_reuse:
-            my2, ok_m = descend_batch(tree, slot, min_headroom=search_budget + 1)
+            my2, ok_m = descend_batch(
+                tree, slot, min_headroom=search_budget + 1,
+                max_chain=max_depth,
+            )
             my_out = reset_lanes(my2, frozen | ~ok_m, nxt)
         else:
             my_out = tree
@@ -101,7 +104,8 @@ def make_compete(
             hit = opp_tree.child_action[:, 0, :] == action[:, None]
             opp_slot = jnp.argmax(hit, axis=1).astype(jnp.int32)
             opp2, ok_o = descend_batch(
-                opp_tree, opp_slot, min_headroom=search_budget + 1
+                opp_tree, opp_slot, min_headroom=search_budget + 1,
+                max_chain=max_depth,
             )
             ok_o = ok_o & jnp.any(hit, axis=1)
             opp_out = reset_lanes(opp2, frozen | ~ok_o, nxt)

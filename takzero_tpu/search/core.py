@@ -345,7 +345,10 @@ def make_kernels(
         already = (
             tree.child_node[bar, leaf_parent, leaf_slot] >= 0
         ) & ~lane_root_expand
-        can_expand = lane_root_expand | (tree.node_count < capacity)
+        # Rows come from the free list (descend_batch recycles freed rows
+        # in place instead of compacting the pool).
+        alloc_row = tree.free_rows[bar, tree.alloc_ptr.clip(0, m - 1)]
+        can_expand = lane_root_expand | (tree.alloc_ptr < tree.free_count)
         expanding = (
             (lane_eval_leaf | lane_eval_root) & can_expand & ~already
         )
@@ -353,7 +356,7 @@ def make_kernels(
         # below unconditional — a masked where(new, old) store costs an
         # extra old-row gather and a copy-on-write per array per sim.
         new_node = jnp.where(
-            expanding, jnp.where(lane_root_expand, 0, tree.node_count), capacity
+            expanding, jnp.where(lane_root_expand, 0, alloc_row), capacity
         )
 
         def put_row(arr, row):
@@ -401,6 +404,8 @@ def make_kernels(
                 bar, jnp.where(leaf_expand, leaf_parent, capacity), leaf_slot
             ].set(new_node),
             node_count=tree.node_count + leaf_expand.astype(jnp.int32),
+            alloc_ptr=tree.alloc_ptr + leaf_expand.astype(jnp.int32),
+            node_live=tree.node_live.at[bar, new_node].set(expanding),
             overflow=tree.overflow
             + ((lane_eval_leaf | lane_eval_root) & ~can_expand).astype(jnp.int32),
         )

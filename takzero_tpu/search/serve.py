@@ -300,11 +300,12 @@ def make_serve_chunk(
         probs = ex / jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-30)
         legal_count = jnp.sum(legal, axis=-1).reshape(b, K)
 
-        capacity = m - 1
         want = wfirst
         pos = jnp.cumsum(want.astype(jnp.int32), axis=1) - want
-        new_node = tree.node_count[:, None] + pos
-        can = new_node < capacity
+        # Rows come from the free list (descend recycles rows in place).
+        idxp = tree.alloc_ptr[:, None] + pos
+        can = idxp < tree.free_count[:, None]
+        new_node = tree.free_rows[bar, idxp.clip(0, m - 1)]
         expanding = want & can
         nn_ = jnp.where(expanding, new_node, scratch)
 
@@ -355,6 +356,9 @@ def make_serve_chunk(
             ),
             node_count=tree.node_count
             + jnp.sum(expanding, axis=1).astype(jnp.int32),
+            alloc_ptr=tree.alloc_ptr
+            + jnp.sum(expanding, axis=1).astype(jnp.int32),
+            node_live=tree.node_live.at[bar, nn_].set(expanding),
             overflow=tree.overflow
             + jnp.sum(want & ~can, axis=1).astype(jnp.int32),
         )

@@ -46,6 +46,15 @@ class Tree(NamedTuple):
     child_value: jnp.ndarray
     child_std: jnp.ndarray
     child_node: jnp.ndarray  # expanded-node index, -1 = unexpanded
+    # Allocation state [B] / [B, M].  Rows are recycled through a
+    # free-list so tree reuse (descend_batch) never moves the pool:
+    # `free_rows[b, alloc_ptr[b]]` is the next row expansion will use,
+    # `free_count` how many entries are usable, `node_live` which rows
+    # currently belong to the tree (row 0 = root; scratch is never live).
+    node_live: jnp.ndarray  # [B, M] bool
+    free_rows: jnp.ndarray  # [B, M] int32
+    alloc_ptr: jnp.ndarray  # [B] int32
+    free_count: jnp.ndarray  # [B] int32
     # Root statistics [B]
     root_visit: jnp.ndarray
     root_flag: jnp.ndarray
@@ -112,6 +121,13 @@ def init_tree(
         child_value=zf(b, m, c),
         child_std=zf(b, m, c),
         child_node=jnp.full((b, m, c), -1, jnp.int32),
+        node_live=jnp.broadcast_to(jnp.arange(m)[None, :] == 0, (b, m)),
+        free_rows=jnp.broadcast_to(
+            (jnp.arange(m, dtype=jnp.int32) + 1).clip(max=m - 1)[None, :],
+            (b, m),
+        ),
+        alloc_ptr=zi(b),
+        free_count=jnp.full((b,), m - 2, jnp.int32),
         root_visit=zi(b),
         root_flag=zi(b),
         root_ply=zi(b),
@@ -128,13 +144,13 @@ def truncation_stats(tree: Tree) -> jnp.ndarray:
     moves than the tree's C child slots (see the module docstring) — the
     solver then never proves losses/draws through that node, which is
     exactly where the reference (which stores ALL children,
-    node/mod.rs:14-23) is stronger.  This reads only allocated pool rows
-    (the write-sink scratch row carries garbage flags by design).
+    node/mod.rs:14-23) is stronger.  This reads only live pool rows
+    (the write-sink scratch row carries garbage flags by design; live
+    rows are not an index prefix once descend_batch has recycled rows).
     """
-    b, m = tree.node_parent.shape
-    alloc = jnp.arange(m)[None, :] < tree.node_count[:, None]
-    expanded = jnp.sum(alloc, axis=1, dtype=jnp.int32)
-    incomplete = jnp.sum(alloc & tree.node_incomplete, axis=1, dtype=jnp.int32)
+    live = tree.node_live
+    expanded = jnp.sum(live, axis=1, dtype=jnp.int32)
+    incomplete = jnp.sum(live & tree.node_incomplete, axis=1, dtype=jnp.int32)
     return jnp.stack([expanded, incomplete], axis=1)
 
 
@@ -225,6 +241,12 @@ def descend_host(tree: Tree, action: int):
         child_value=copy_pool(tree.child_value, 0.0),
         child_std=copy_pool(tree.child_std, 0.0),
         child_node=jnp.asarray(new_child_node[None]),
+        node_live=jnp.arange(cn.shape[0])[None, :] < k,
+        free_rows=(jnp.arange(cn.shape[0], dtype=jnp.int32) + k).clip(
+            max=cn.shape[0] - 1
+        )[None, :],
+        alloc_ptr=jnp.zeros((1,), jnp.int32),
+        free_count=jnp.asarray([cn.shape[0] - 1 - k], jnp.int32),
         root_visit=tree.child_visit[:, 0, slot],
         root_flag=tree.child_flag[:, 0, slot],
         root_ply=tree.child_ply[:, 0, slot],
@@ -234,7 +256,9 @@ def descend_host(tree: Tree, action: int):
     )
 
 
-def descend_batch(tree: Tree, slot, min_headroom: int = 0):
+def descend_batch(
+    tree: Tree, slot, min_headroom: int = 0, max_chain: int | None = None
+):
     """Jitted batched re-root: every lane descends to its root child `slot`.
 
     Device-side tree reuse across moves for selfplay and evaluation
@@ -242,17 +266,28 @@ def descend_batch(tree: Tree, slot, min_headroom: int = 0):
     node/batched.rs:131-144, node/mod.rs:95-102): prior visits and solver
     proofs seed the next move's search.
 
-    Reachability runs via parent-pointer doubling — parents are always
-    allocated before children, so chains strictly decrease and
-    ``ceil(log2(M))`` rounds of [B,M] gathers converge — far cheaper than
-    a child-link scatter fixpoint over the [B,M,C] slot arrays.  Then one
-    gather-based compaction renumbers the kept subtree with the new root
-    at row 0.  Interior numbering is search-irrelevant (kernels depend
-    only on links, row 0, and the scratch row).
+    TPU design: the carried subtree is **never moved**.  A bulk
+    compaction gather over the [B,M,C] pool arrays costs ~1us per
+    gathered row on the scalar core (~200k rows here — measured 6.7 s
+    per move at the flagship config, slower than the whole 768-sim
+    search).  Instead:
+
+    1. reachability-from-``r`` via parent-pointer doubling
+       (``ceil(log2(max_chain))`` rounds of [B,M] gathers; chains are
+       bounded by the search's ``max_depth``, so callers pass it as
+       ``max_chain`` to shrink the unroll);
+    2. the new root's single row is swapped into row 0 (row 0 is the
+       root everywhere; one [B]-row gather+store per array) and its
+       children re-parented to 0;
+    3. freed rows are parked (parent −1) and enumerated into a
+       ``free_rows`` list that expansion consumes
+       (``free_rows[alloc_ptr]``) — interior rows keep their indices,
+       so no data moves.  Interior numbering is search-irrelevant
+       (kernels depend only on links, row 0, and the scratch row).
 
     Returns ``(tree2, ok[B])``.  Lanes where ``ok`` is False (the chosen
     child was never expanded, or the carried subtree would leave less
-    than ``min_headroom`` free pool rows) contain empty trees and must be
+    than ``min_headroom`` free pool rows) contain garbage and must be
     reset by the caller (``reset_lanes``) with the stepped environment.
 
     ``min_headroom`` keeps reuse sound with a fixed pool: carried
@@ -266,76 +301,86 @@ def descend_batch(tree: Tree, slot, min_headroom: int = 0):
     search; callers pass ``min_headroom=search_budget + 1``.
     """
     b, m, c = tree.child_action.shape
+    scratch = m - 1
     bar = jnp.arange(b)
+    idx = jnp.arange(m, dtype=jnp.int32)
     slot = jnp.asarray(slot, jnp.int32).clip(0, c - 1)
     r = tree.child_node[bar, 0, slot]  # [B] new-root pool row
     ok = r >= 0
+    rc = r.clip(0)
 
-    idx = jnp.arange(m, dtype=jnp.int32)
-    reach = idx[None, :] == r[:, None]
-    # -1 chains (roots / unexpanded rows) park on the scratch row, which is
-    # never a real parent and never equals r.
-    anc = jnp.where(tree.node_parent >= 0, tree.node_parent, m - 1)
-    for _ in range(max(1, (m - 1).bit_length())):
+    # Reachability: reach[x] iff r is x or an ancestor of x.  Parent
+    # chains have length <= the search max_depth (expansion only happens
+    # at depth < max_depth), so `max_chain` rounds of doubling converge;
+    # -1 chains park on the scratch row, whose own parent is kept at -1
+    # below and which is never a real parent, so parked chains can never
+    # pass through r.
+    reach = idx[None, :] == rc[:, None]
+    anc = jnp.where(tree.node_parent >= 0, tree.node_parent, scratch)
+    chain = m - 1 if max_chain is None else min(max_chain + 1, m - 1)
+    for _ in range(max(1, chain.bit_length())):
         reach = reach | jnp.take_along_axis(reach, anc, axis=1)
         anc = jnp.take_along_axis(anc, anc, axis=1)
 
-    k = jnp.sum(reach, axis=1).astype(jnp.int32)  # [B]
+    k = jnp.sum(reach, axis=1).astype(jnp.int32)  # [B] subtree size
     ok = ok & (k + min_headroom <= m - 1)
-    # New numbering: r first, remaining kept nodes in old-index order.
-    sort_key = jnp.where(
-        reach, jnp.where(idx[None, :] == r[:, None], -1, idx[None, :]), m + 1
-    )
-    perm = jnp.argsort(sort_key, axis=1).astype(jnp.int32)  # perm[new] = old
-    remap = (
-        jnp.zeros((b, m), jnp.int32)
-        .at[bar[:, None], perm]
-        .set(jnp.broadcast_to(idx[None, :], (b, m)))
-    )
-    live = idx[None, :] < k[:, None]
 
-    def pool(arr, fill):
-        p = perm.reshape((b, m) + (1,) * (arr.ndim - 2))
-        g = jnp.take_along_axis(
-            arr, jnp.broadcast_to(p, (b, m) + arr.shape[2:]), axis=1
-        )
-        mask = live.reshape((b, m) + (1,) * (arr.ndim - 2))
-        return jnp.where(mask, g, jnp.asarray(fill, arr.dtype))
+    # Root stats = the chosen edge's stats (reads precede all writes).
+    root_visit = tree.child_visit[bar, 0, slot]
+    root_flag = tree.child_flag[bar, 0, slot]
+    root_ply = tree.child_ply[bar, 0, slot]
+    root_value = tree.child_value[bar, 0, slot]
+    root_std = tree.child_std[bar, 0, slot]
 
-    g_cn = pool(tree.child_node, -1)
-    new_cn = jnp.where(
-        g_cn >= 0,
-        jnp.take_along_axis(remap, g_cn.clip(0).reshape(b, -1), axis=1).reshape(
-            b, m, c
-        ),
-        -1,
-    )
-    g_par = pool(tree.node_parent, -1)
-    new_par = jnp.where(
-        g_par >= 0, jnp.take_along_axis(remap, g_par.clip(0), axis=1), -1
-    )
-    new_par = new_par.at[:, 0].set(-1)
+    # Swap r's node data into row 0 (the root row everywhere).
+    def swap0(arr):
+        return arr.at[:, 0].set(arr[bar, rc])
+
+    # r's children re-parent from r to row 0 (their slots are unchanged:
+    # row 0's child row *is* r's child row after the swap).  Unexpanded
+    # slots sink on the scratch row.
+    cn_r = tree.child_node[bar, rc]  # [B, C]
+    tgt = jnp.where(cn_r >= 0, cn_r, scratch)
+    node_parent = tree.node_parent.at[bar[:, None], tgt].set(0)
+    node_parent = node_parent.at[:, 0].set(-1)
+
+    # Live rows: r's proper descendants (which stay put) plus row 0 (now
+    # holding r).  Everything else — including r's vacated row — is dead:
+    # park its parent so a later reachability pass cannot resurrect it
+    # through a recycled ancestor, and enumerate the dead rows (ascending)
+    # into the free list.
+    live = (reach & (idx[None, :] != rc[:, None])) | (idx[None, :] == 0)
+    node_parent = jnp.where(live, node_parent, -1)
+    dead = ~live & (idx[None, :] != scratch)
+    free_count = jnp.sum(dead, axis=1).astype(jnp.int32)
+    free_rows = jnp.argsort(
+        jnp.where(dead, idx[None, :], m + idx[None, :]), axis=1
+    ).astype(jnp.int32)
 
     return Tree(
-        node_parent=new_par,
-        node_slot=pool(tree.node_slot, -1).at[:, 0].set(-1),
-        node_incomplete=pool(tree.node_incomplete, False),
-        node_env=jax.tree.map(lambda x: pool(x, 0), tree.node_env),
+        node_parent=node_parent,
+        node_slot=swap0(tree.node_slot).at[:, 0].set(-1),
+        node_incomplete=swap0(tree.node_incomplete),
+        node_env=jax.tree.map(swap0, tree.node_env),
         node_count=jnp.maximum(k, 1),
-        child_action=pool(tree.child_action, -1),
-        child_logit=pool(tree.child_logit, 0.0),
-        child_prob=pool(tree.child_prob, 0.0),
-        child_visit=pool(tree.child_visit, 0),
-        child_flag=pool(tree.child_flag, 0),
-        child_ply=pool(tree.child_ply, 0),
-        child_value=pool(tree.child_value, 0.0),
-        child_std=pool(tree.child_std, 0.0),
-        child_node=new_cn,
-        root_visit=tree.child_visit[bar, 0, slot],
-        root_flag=tree.child_flag[bar, 0, slot],
-        root_ply=tree.child_ply[bar, 0, slot],
-        root_value=tree.child_value[bar, 0, slot],
-        root_std=tree.child_std[bar, 0, slot],
+        child_action=swap0(tree.child_action),
+        child_logit=swap0(tree.child_logit),
+        child_prob=swap0(tree.child_prob),
+        child_visit=swap0(tree.child_visit),
+        child_flag=swap0(tree.child_flag),
+        child_ply=swap0(tree.child_ply),
+        child_value=swap0(tree.child_value),
+        child_std=swap0(tree.child_std),
+        child_node=swap0(tree.child_node),
+        node_live=live,
+        free_rows=free_rows,
+        alloc_ptr=jnp.zeros((b,), jnp.int32),
+        free_count=free_count,
+        root_visit=root_visit,
+        root_flag=root_flag,
+        root_ply=root_ply,
+        root_value=root_value,
+        root_std=root_std,
         overflow=jnp.zeros((b,), jnp.int32),
     ), ok
 

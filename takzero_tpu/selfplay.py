@@ -149,7 +149,8 @@ class SelfplayEngine:
                 # choices, and subtrees too large to leave a full budget
                 # of expansion headroom restart from fresh/stepped roots.
                 tree2, ok = descend_batch(
-                    tree, slot, min_headroom=cfg.search_budget + 1
+                    tree, slot, min_headroom=cfg.search_budget + 1,
+                    max_chain=cfg.max_depth,
                 )
                 tree_out = reset_lanes(tree2, done | ~ok, nxt)
             else:
