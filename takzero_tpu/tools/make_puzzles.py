@@ -53,12 +53,17 @@ from ..train.data import _host_opening, stack_states
 
 def candidate_positions(eng, games: int, min_ply: int, rng, need_caps: bool,
                         endgame_window: int = 0):
-    """[(state, game_id, prev_state)] candidates from random oracle games.
+    """[(state, game_id, game_states, i)] candidates from oracle games.
 
     With ``endgame_window`` > 0, only decisive games contribute, and only
-    their last `window` positions — forced wins live near the end.
-    ``prev_state`` (one ply earlier, None at the game start) seeds the
-    avoidance screen for verified tinues.
+    their last `window` positions — forced wins live near the end.  Each
+    candidate carries its full game history so verified tinues can be
+    mined backward: the position one ply earlier seeds the avoidance
+    screen, and the position two plies earlier (the attacker's previous
+    turn) is the highest-yield depth-(d+2) tinue candidate — this
+    ancestor walk is where depth-7/9 puzzles come from (random play
+    almost never *stops* inside a deep forced win, but it must *pass
+    through* one to reach a shallow one).
     """
     orc = Oracle(eng.n, eng.half_komi, eng.reversible_limit)
     out = []
@@ -83,7 +88,7 @@ def candidate_positions(eng, games: int, min_ply: int, rng, need_caps: bool,
                 continue
             if need_caps and (np.asarray(cur.tops) == 3).sum() < 2:
                 continue
-            out.append((cur, g, states[i - 1] if i else None))
+            out.append((cur, g, states, i))
     return out
 
 
@@ -315,36 +320,58 @@ def main(argv=None) -> None:
             eng, args.deep_budget, args.deep_batch, args.max_children
         )
 
-    def verify_and_write(kind, lane_idx, chunk):
-        """Host-verify one candidate lane and insert it if it fits."""
-        state, game_id, prev = chunk[lane_idx]
-        tps = state_to_tps(eng.n, state)
+    def screen_avoidance(game_id, prev):
+        """Avoidance screen one ply above a verified tinue."""
+        if prev is None or not any(w.want("a", ad) for ad in avoidance_depths):
+            return
+        tps = state_to_tps(eng.n, prev)
         if tps in w.seen_tps:
             return
+        got_a = verify_avoidance(orc, prev, avoidance_depths, args.verify_nodes)
+        if got_a is not None:
+            w.add(game_id, tps, action_to_ptn(eng.n, got_a[1]), "a", got_a[0])
+
+    def verify_tinue_at(game_id, states, i):
+        """Verify states[i] as a tinue; returns its exact depth or None.
+
+        On success also screens states[i-1] for avoidance (one ply
+        earlier the defender had to avoid this exact tinue — the
+        highest-yield avoidance screen)."""
+        state = states[i]
+        tps = state_to_tps(eng.n, state)
+        if tps in w.seen_tps:
+            return None
+        got = verify_tinue(orc, state, max_tinue, args.verify_nodes)
+        if got is None:
+            return None
+        d, sol = got
+        if w.want("t", d):
+            w.add(game_id, tps, action_to_ptn(eng.n, sol), "t", d)
+        if i >= 1:
+            screen_avoidance(game_id, states[i - 1])
+        return d
+
+    def verify_and_write(kind, lane_idx, chunk):
+        """Host-verify one candidate lane and insert it if it fits.
+
+        A verified tinue is mined backward: the attacker's previous turn
+        (two plies up) is verified as a deeper tinue, recursively while
+        the game stayed inside the forced win — random play only reaches
+        depth-3 stops, but passes *through* depth 5/7/9 positions on the
+        way, and this walk is what surfaces them."""
+        if args.no_verify:
+            return  # device path writes directly (below)
+        state, game_id, states, i = chunk[lane_idx]
         if kind == "t":
-            if args.no_verify:
-                return  # device path writes directly (below)
-            got = verify_tinue(orc, state, max_tinue, args.verify_nodes)
-            if got is None:
-                return
-            d, sol = got
-            if w.want("t", d):
-                w.add(game_id, tps, action_to_ptn(eng.n, sol), "t", d)
-            # One ply earlier the defender had to avoid this exact tinue:
-            # the highest-yield avoidance screen.
-            if prev is not None and any(
-                w.want("a", ad) for ad in avoidance_depths
-            ):
-                got_a = verify_avoidance(
-                    orc, prev, avoidance_depths, args.verify_nodes
-                )
-                if got_a is not None:
-                    w.add(
-                        game_id, state_to_tps(eng.n, prev),
-                        action_to_ptn(eng.n, got_a[1]), "a", got_a[0],
-                    )
+            d = verify_tinue_at(game_id, states, i)
+            walked = 0
+            while d is not None and d < max_tinue and i >= 2 and walked < 4:
+                i -= 2
+                walked += 1
+                d = verify_tinue_at(game_id, states, i)
         else:
-            if args.no_verify:
+            tps = state_to_tps(eng.n, state)
+            if tps in w.seen_tps:
                 return
             got = verify_avoidance(
                 orc, state, avoidance_depths, args.verify_nodes
@@ -359,7 +386,7 @@ def main(argv=None) -> None:
         cf = np.asarray(tree.child_flag[:, 0, :])
         cp = np.asarray(tree.child_ply[:, 0, :])
         for b in lanes_win:
-            state, game_id, _ = chunk[b]
+            state, game_id, _, _ = chunk[b]
             valid = ca[b] >= 0
             d = int(root_ply[b])
             sols = np.nonzero(valid & (cf[b] == ev.WIN) & (cp[b] == d - 1))[0]
@@ -367,7 +394,7 @@ def main(argv=None) -> None:
                 w.add(game_id, state_to_tps(eng.n, state),
                       action_to_ptn(eng.n, int(ca[b][sols[0]])), "t", d)
         for b in lanes_avoid:
-            state, game_id, _ = chunk[b]
+            state, game_id, _, _ = chunk[b]
             valid = ca[b] >= 0
             losing = valid & (cf[b] == ev.WIN)
             survivors = np.nonzero(valid & ~losing)[0]
@@ -382,7 +409,7 @@ def main(argv=None) -> None:
         if w.done() or out_of_time():
             break
         chunk = cands[i : i + args.batch]
-        tree = solve([s for s, _, _ in chunk])
+        tree = solve([s for s, _, _, _ in chunk])
         lanes_win, lanes_avoid = extract_candidates(tree)
         lanes_win = [b for b in lanes_win if b < len(chunk)]
         lanes_avoid = [b for b in lanes_avoid if b < len(chunk)]
@@ -410,7 +437,7 @@ def main(argv=None) -> None:
             if w.done() or out_of_time():
                 break
             chunk = deep_later[i : i + args.deep_batch]
-            tree = deep_solve([s for s, _, _ in chunk])
+            tree = deep_solve([s for s, _, _, _ in chunk])
             lanes_win, lanes_avoid = extract_candidates(tree)
             for b in [b for b in lanes_win if b < len(chunk)]:
                 verify_and_write("t", b, chunk)

@@ -52,7 +52,7 @@ def main() -> None:
 
     run = jax.jit(run_chunk)
 
-    envs = eng.initial_state()[None]
+    envs = jax.tree.map(lambda x: x[None], eng.initial())
     tree = init_tree(eng, envs, args.max_nodes, 128)
 
     # Warmup/compile; the axon backend needs a host transfer to sync.
