@@ -132,7 +132,13 @@ def main(argv=None) -> None:
         batch_size=args.batch_size or LearnConfig.batch_size,
         initial_random_targets=args.pretrain_targets
         or LearnConfig.initial_random_targets,
-        pre_training_steps=args.pretrain_steps or LearnConfig.pre_training_steps,
+        # `or` would turn an explicit 0 into the default (1000 pretrain
+        # steps on a run that asked for none).
+        pre_training_steps=(
+            args.pretrain_steps
+            if args.pretrain_steps is not None
+            else LearnConfig.pre_training_steps
+        ),
         steps_per_checkpoint=args.steps_per_checkpoint
         or LearnConfig.steps_per_checkpoint,
     )
@@ -292,6 +298,8 @@ def main(argv=None) -> None:
     pending_metrics: list = []
     saver = ckpt.AsyncSaver()
 
+    last_flush = [0.0]
+
     def flush_metrics(item):
         """Fetch one chunk's stacked metrics and log/record per step."""
         first_step, c, metrics, chunk_idx = item
@@ -311,6 +319,15 @@ def main(argv=None) -> None:
                 step_i, m["loss"], m["loss_policy"], m["loss_value"], m["loss_ube"],
             )
             jsonl.append(json.dumps({"step": step_i, **m}))
+        # Delivered throughput incl. host work (the jitted step alone is
+        # not the number that matters for the actor fleet).
+        now = time.time()
+        if last_flush[0]:
+            log.info(
+                "chunk of %d flushed: %.1f steps/s end-to-end",
+                c, c / max(now - last_flush[0], 1e-9),
+            )
+        last_flush[0] = now
         # Structured metrics alongside the logs (tools/logs.py reads both).
         co.append_lines(args.directory, "metrics.jsonl", jsonl)
 

@@ -51,6 +51,7 @@ def make_compete(
     max_children: int = 128,
     max_depth: int = 48,
     tree_reuse: bool | tuple[bool, bool] = True,
+    reuse_carry_cap: int = 384,
 ):
     """Build `compete(bundle_white, bundle_black, envs, key) -> Evaluation`.
 
@@ -59,12 +60,15 @@ def make_compete(
     search against fresh-tree search at equal budget, measuring what
     reuse is worth (reference keeps subtrees in both selfplay and the
     pit fighter, node/batched.rs:139, evaluation/src/main.rs:236-299).
+    ``reuse_carry_cap`` bounds the carried-subtree pool reservation (see
+    SelfplayConfig.reuse_carry_cap — search cost grows with pool size).
     """
     reuse_w, reuse_b = (
         tree_reuse if isinstance(tree_reuse, tuple) else (tree_reuse, tree_reuse)
     )
     any_reuse = reuse_w or reuse_b
-    max_nodes = search_budget + 8 + (search_budget if any_reuse else 0)
+    cap = min(reuse_carry_cap, search_budget)
+    max_nodes = search_budget + 8 + (cap if any_reuse else 0)
     step_b = jax.vmap(eng.step)
     terminal_b = jax.vmap(eng.terminal_kind)
 

@@ -56,12 +56,20 @@ class SelfplayConfig:
     # Carry the chosen child's subtree across moves (reference
     # BatchedMCTS::step → Node::descend, batched.rs:131-144).
     tree_reuse: bool = True
+    # Pool rows reserved for the carried subtree.  Search cost grows with
+    # pool size (~24% per doubling at C=256 on v5e — TPU gather/scatter
+    # lowering, measured 2026-08-19), so the pool is sized for the
+    # carried subtrees actually seen (mean ~215 rows at the flagship
+    # config) rather than a worst-case full budget; larger subtrees
+    # reset fresh via descend_batch's min_headroom guard.
+    reuse_carry_cap: int = 384
 
     @property
     def max_nodes(self) -> int:
         # With tree reuse the pool must hold the carried subtree plus a
         # full budget of fresh expansions (the reference heap-allocates).
-        return self.search_budget + 8 + (self.search_budget if self.tree_reuse else 0)
+        cap = min(self.reuse_carry_cap, self.search_budget)
+        return self.search_budget + 8 + (cap if self.tree_reuse else 0)
 
     @property
     def improved_policy_visitations(self) -> float:
