@@ -213,8 +213,20 @@ def augment_states(n: int, states: TakState, syms: np.ndarray) -> TakState:
     )
 
 
-def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
-    """Parse target lines and build a training Batch, all vectorized."""
+def make_batch_native(
+    eng, text: str, rng: np.random.Generator, augment=True,
+    splits: int | None = None,
+):
+    """Parse target lines and build a training Batch, all vectorized.
+
+    With ``splits=c`` the text holds ``c`` consecutive batches and every
+    Batch leaf comes back with a leading ``[c, T//c, ...]`` chunk axis
+    (the layout ``make_train_step_chunk`` consumes).  Assembling a whole
+    chunk in ONE call matters on a remote accelerator: per-batch assembly
+    costs several dispatches + transfers each (~0.5-0.8 ms apiece through
+    the tunnel), which at --chunk-steps 50 used to add ~300 ms of pure
+    dispatch latency per chunk.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -228,6 +240,8 @@ def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
     t = value.shape[0]
     if t == 0:
         raise ValueError("no targets parsed")
+    if splits is not None and t % splits:
+        raise ValueError(f"{t} targets not divisible by splits={splits}")
     syms = rng.integers(0, 8, size=t).astype(np.int32) if augment else np.zeros(t, np.int32)
     states = augment_states(n, states, syms)
     amap = action_maps(n)  # [8, A]
@@ -241,10 +255,15 @@ def make_batch_native(eng, text: str, rng: np.random.Generator, augment=True):
     policy, mask = scatter_policy(t, a, item_row, mapped, probs)
     batched = jax.tree.map(jnp.asarray, states)
     planes = batch_planes_fn(eng)(batched)
-    return Batch(
+    batch = Batch(
         planes=planes,
         policy=policy,
         mask=mask,
         value=jnp.asarray(value),
         ube=jnp.asarray(ube),
+    )
+    if splits is None:
+        return batch
+    return jax.tree.map(
+        lambda x: x.reshape((splits, t // splits) + x.shape[1:]), batch
     )

@@ -94,6 +94,11 @@ def main(argv=None) -> None:
     )
     parser.add_argument("--reanalyze-batch", type=int, default=None)
     parser.add_argument(
+        "--exploration", action="store_true",
+        help="beta=0.25 on the first half of the selfplay batch (the "
+        "reference's `exploration` cargo feature, selfplay/src/main.rs:81-87)",
+    )
+    parser.add_argument(
         "--pretrain-steps", type=int, default=0,
         help="pre-training optimizer steps on random-playout targets "
         "before the loop (learn/src/main.rs:139-171); 0 disables",
@@ -129,6 +134,8 @@ def main(argv=None) -> None:
         overrides["search_budget"] = args.budget
     if args.sampled:
         overrides["sampled_actions"] = args.sampled
+    if args.exploration:
+        overrides["exploration"] = True
     sp_cfg = selfplay_preset(args.net, **overrides)
     if args.devices and sp_cfg.batch % args.devices:
         parser.error(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import time
 
 import jax
@@ -430,19 +431,20 @@ def main(argv=None) -> None:
             )
             time.sleep(cfg.sleep_when_starved)
 
-        chunk_batches = []
+        t_a = time.perf_counter()
+        drained: list = []
         for _ in range(c):
             if using_reanalyze:
                 half = cfg.batch_size // 2
-                targets = sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
+                drained += sp_buffer.drain_batch(half) + re_buffer.drain_batch(half)
             else:
-                targets = sp_buffer.drain_batch(cfg.batch_size)
-            chunk_batches.append(
-                make_batch_native(eng, "\n".join(targets) + "\n", rng)
-            )
+                drained += sp_buffer.drain_batch(cfg.batch_size)
+        t_b = time.perf_counter()
         chunk_idx = None
         if c == 1:
-            batch = place_batch(chunk_batches[0])
+            batch = place_batch(
+                make_batch_native(eng, "\n".join(drained) + "\n", rng)
+            )
             if idx_fn is not None:
                 chunk_idx = idx_fn(bundle, batch.planes)
             bundle, opt_state, metrics = train_step(
@@ -450,8 +452,10 @@ def main(argv=None) -> None:
             )
             metrics = jax.tree.map(lambda x: jax.numpy.asarray(x)[None], metrics)
         else:
+            # One parse + one device encode for the whole chunk — NOT one
+            # per batch (see make_batch_native's splits note).
             batches = place_batch(
-                jax.tree.map(lambda *xs: jax.numpy.stack(xs), *chunk_batches),
+                make_batch_native(eng, "\n".join(drained) + "\n", rng, splits=c),
                 batch_dim=1,
             )
             if idx_fn is not None:
@@ -462,6 +466,7 @@ def main(argv=None) -> None:
         # Defer the blocking metric fetch one chunk: the next iteration's
         # host-side batch assembly then overlaps this chunk's device
         # compute (dispatch is asynchronous).
+        t_c = time.perf_counter()
         first_step = model_steps + 1
         model_steps += c
         if multi:
@@ -469,6 +474,12 @@ def main(argv=None) -> None:
         pending_metrics.append((first_step, c, metrics, chunk_idx))
         if len(pending_metrics) > 1:
             flush_metrics(pending_metrics.pop(0))
+        if os.environ.get("TAKZERO_LEARN_TIMING"):
+            log.info(
+                "chunk timing: assemble=%.3fs stack+dispatch=%.3fs "
+                "flush=%.3fs (c=%d)",
+                t_b - t_a, t_c - t_b, time.perf_counter() - t_c, c,
+            )
         if rnd_refs is not None and model_steps % 100 == 0:
             bundle = rnd_norm(bundle, *rnd_refs)
             log.info(

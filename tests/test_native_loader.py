@@ -258,3 +258,48 @@ def test_parse_replays_rolls_back_malformed_lines():
     for i, exp in enumerate(expected):
         lane = jax.tree.map(lambda x: x[i], states)
         assert state_equal(lane, jax.tree.map(np.asarray, exp))
+
+
+def test_make_batch_native_splits_matches_per_batch():
+    """splits=c returns [c, T//c, ...] leaves equal to c separate
+    per-batch assemblies of the same consecutive line groups (the learn
+    driver's one-call chunk assembly, drivers/learn.py)."""
+    n = 3
+    eng, orc, rng, games = _random_games(n, 0, 3, seed=5, max_plies=24)
+    targets = []
+    for start, actions, _ in games:
+        state = start
+        for a in actions[:8]:
+            legal = np.nonzero(orc.legal_mask(state))[0]
+            targets.append(
+                Target(
+                    tps=state_to_tps(n, state),
+                    value=-0.5,
+                    ube=0.25,
+                    policy=[(int(x), 1.0 / len(legal)) for x in legal],
+                    n=n,
+                )
+            )
+            state = orc.step(state, a)
+    targets = targets[:24]  # 3 batches of 8
+    lines = [t.to_line() for t in targets]
+    rng1 = np.random.default_rng(0)
+    whole = nl.make_batch_native(
+        eng, "\n".join(lines) + "\n", rng1, augment=False, splits=3
+    )
+    for f in whole._fields:
+        assert getattr(whole, f).shape[0] == 3, f
+    for i in range(3):
+        part = nl.make_batch_native(
+            eng,
+            "\n".join(lines[i * 8 : (i + 1) * 8]) + "\n",
+            np.random.default_rng(0),
+            augment=False,
+        )
+        for f in whole._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(whole, f)[i]),
+                np.asarray(getattr(part, f)),
+                atol=1e-6,
+                err_msg=f,
+            )

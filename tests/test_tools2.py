@@ -197,3 +197,29 @@ def test_visualize_search(tmp_path):
     svg = (tmp_path / "tree_with_beta=0.0.svg").read_text()
     assert "<circle" in svg and 'tps="' in svg
     assert (tmp_path / "tree_with_beta=1.0.svg").exists()
+
+
+def test_reuse_ab_tool(tmp_path, capsys):
+    """The carried-vs-fresh A/B CLI plays both directions and reports a
+    score for the reusing side (tools/reuse_ab.py)."""
+    import json
+
+    from takzero_tpu.config import NET_PRESETS
+    from takzero_tpu.models.agent import new_agent
+    from takzero_tpu.tools import reuse_ab
+    from takzero_tpu.utils import ckpt
+
+    bundle = new_agent(NET_PRESETS["tiny3"], seed=0)
+    path = ckpt.save_checkpoint(str(tmp_path), "model_final.ckpt", bundle)
+    out = tmp_path / "ab.json"
+    reuse_ab.main(
+        [
+            "--ckpt", str(path), "--net", "tiny3",
+            "--games", "2", "--budget", "16", "--sampled", "4",
+            "--max-moves", "20", "--out", str(out),
+        ]
+    )
+    got = json.loads(out.read_text())
+    assert got["games"] == 4
+    assert got["reuse_wins"] + got["reuse_losses"] + got["draws"] == 4
+    assert 0.0 <= got["reuse_score"] <= 1.0
