@@ -270,10 +270,14 @@ def main(argv=None) -> None:
     parser.add_argument("--avoidance-depths", default="2,4,6")
     parser.add_argument("--target", type=int, default=50,
                         help="stop once every category holds this many")
-    parser.add_argument("--verify-nodes", type=int, default=20_000_000,
+    parser.add_argument("--verify-nodes", type=int, default=500_000,
                         help="host verifier node budget per deepening"
                         " iteration; exhausted searches discard the"
-                        " candidate")
+                        " candidate. Witness validation multiplies this"
+                        " by the branching factor (one loses_within per"
+                        " legal move), so large budgets make a single"
+                        " candidate take minutes — 20M measured ~30+ min"
+                        " per flagged candidate at 6x6")
     parser.add_argument("--no-verify", action="store_true",
                         help="trust device proofs/depths (test scale only;"
                         " depth labels become upper bounds and truncated"
