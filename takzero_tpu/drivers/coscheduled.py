@@ -54,6 +54,7 @@ from ..selfplay import SelfplayEngine
 from ..tak import engine
 from ..train.learner import init_opt, make_optimizer, make_train_step
 from ..utils import ckpt
+from ..utils.flush import drain_index_pairs
 
 log = logging.getLogger("coscheduled")
 
@@ -217,11 +218,10 @@ def main(argv=None) -> None:
                 log.info("pretrain %d: %s", i, jax.tree.map(float, m))
             steps += 1
         if boot_idx:
+            # Grouped single-buffer fetches (utils/flush.py) instead of
+            # two blocking round-trips per pre-training step.
             ckpt.append_hash_indices(
-                args.directory,
-                np.concatenate(
-                    [ckpt.fresh_indices(i, f) for i, f in boot_idx]
-                ),
+                args.directory, drain_index_pairs(boot_idx)
             )
         ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
 
@@ -352,10 +352,7 @@ def main(argv=None) -> None:
                 # written this step: external pollers replay the log to
                 # track the bitset embedded in immutable checkpoints.
                 ckpt.append_hash_indices(
-                    args.directory,
-                    np.concatenate(
-                        [ckpt.fresh_indices(i, f) for i, f in trained_lines]
-                    ),
+                    args.directory, drain_index_pairs(trained_lines)
                 )
                 trained_lines.clear()
             if at_save:
@@ -377,8 +374,7 @@ def main(argv=None) -> None:
 
     if trained_lines:
         ckpt.append_hash_indices(
-            args.directory,
-            np.concatenate([ckpt.fresh_indices(i, f) for i, f in trained_lines]),
+            args.directory, drain_index_pairs(trained_lines)
         )
     saver.submit(
         args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)

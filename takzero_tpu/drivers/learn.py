@@ -39,6 +39,7 @@ from ..train.learner import (
     make_train_step_chunk,
 )
 from ..utils import ckpt
+from ..utils import flush as fl
 
 log = logging.getLogger("learn")
 
@@ -158,16 +159,14 @@ def main(argv=None) -> None:
 
     mesh = None
     rep_sharding = None
-    fetch_rep = lambda t: t  # noqa: E731 — identity outside multihost
     if args.devices:
         mesh = pm.driver_mesh(
             parser, args.devices, cfg.batch_size, log, "--batch-size"
         )
         if multi:
-            # Host fetches (metrics, hash indices) need every shard
-            # addressable locally: reshard to replicated in-graph.
+            # Host fetches (the packed flush buffer, hash indices) need
+            # every shard addressable locally: replicated out_shardings.
             rep_sharding = pm.replicated(mesh)
-            fetch_rep = jax.jit(lambda t: t, out_shardings=rep_sharding)
 
     def place_batch(batch, batch_dim=0):
         """Shard a host batch over dp (no-op without --devices)."""
@@ -261,10 +260,9 @@ def main(argv=None) -> None:
             ckpt.save_checkpoint(args.directory, f"model_{steps:07d}.ckpt", bundle)
 
     if boot_idx and coord:
-        ckpt.append_hash_indices(
-            args.directory,
-            np.concatenate([ckpt.fresh_indices(i, f) for i, f in boot_idx]),
-        )
+        # Grouped single-buffer fetches (one per 64 steps) instead of two
+        # blocking round-trips per pre-training step.
+        ckpt.append_hash_indices(args.directory, fl.drain_index_pairs(boot_idx))
     if coord:
         ckpt.save_checkpoint(
             args.directory, "model_latest.ckpt", ckpt.strip_hash_bits(bundle)
@@ -299,18 +297,24 @@ def main(argv=None) -> None:
     pending_metrics: list = []
     saver = ckpt.AsyncSaver()
 
+    # One packed uint32 buffer per chunk = ONE blocking host fetch at
+    # flush time (metric leaves + hash indices used to be ~6 round-trips
+    # over the remote link; utils/flush.py).
+    pack_fn = jax.jit(
+        fl.pack_flush,
+        **({} if rep_sharding is None else {"out_shardings": rep_sharding}),
+    )
+
     last_flush = [0.0]
 
     def flush_metrics(item):
-        """Fetch one chunk's stacked metrics and log/record per step."""
-        first_step, c, metrics, chunk_idx = item
+        """Fetch one chunk's packed flush buffer and log/record per step."""
+        first_step, c, keys, packed, has_idx = item
         if not coord:
             return
-        if chunk_idx is not None:
-            ckpt.append_hash_indices(
-                args.directory, ckpt.fresh_indices(*chunk_idx)
-            )
-        m_host = jax.tree.map(np.asarray, metrics)
+        m_host, new_idx = fl.unpack_flush(np.asarray(packed), keys, c, has_idx)
+        if new_idx is not None:
+            ckpt.append_hash_indices(args.directory, new_idx)
         jsonl = []
         for i in range(c):
             step_i = first_step + i
@@ -469,9 +473,14 @@ def main(argv=None) -> None:
         t_c = time.perf_counter()
         first_step = model_steps + 1
         model_steps += c
-        if multi:
-            metrics = fetch_rep(metrics)
-        pending_metrics.append((first_step, c, metrics, chunk_idx))
+        packed = (
+            pack_fn(metrics)
+            if chunk_idx is None
+            else pack_fn(metrics, *chunk_idx)
+        )
+        pending_metrics.append(
+            (first_step, c, sorted(metrics), packed, chunk_idx is not None)
+        )
         if len(pending_metrics) > 1:
             flush_metrics(pending_metrics.pop(0))
         if os.environ.get("TAKZERO_LEARN_TIMING"):

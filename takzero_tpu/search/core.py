@@ -233,11 +233,20 @@ def make_kernels(
         path_node, path_slot = st["path_node"], st["path_slot"]
         overflow = tree.overflow + clipped.astype(jnp.int32)
 
-        # Deferred visit increments along the path (one scatter-add).
-        upd = (path_node >= 0).astype(jnp.int32)
-        child_visit = tree.child_visit.at[
-            bar[:, None], path_node.clip(0), path_slot.clip(0)
-        ].add(upd)
+        # Deferred visit increments along the path — ROW-level one-hot
+        # adds.  The elementwise [B,D]-indexed scatter-add lowering scales
+        # linearly with pool size M (~+1ms per pool doubling at D=48 on
+        # v5e — THE round-3 "pool-size cost cliff", tools/op_cliff.py /
+        # tools/scatter_variants.py), while row-indexed scatters are
+        # M-flat (1.10ms @ M=776 -> 1.37ms @ M=3104 vs 1.50 -> 3.90).
+        # Padded path entries route to the scratch row with a zero row.
+        live_path = path_node >= 0
+        upd_rows = (
+            live_path[:, :, None]
+            & (path_slot[:, :, None] == slot_iota[None, None, :])
+        ).astype(jnp.int32)
+        path_rows = jnp.where(live_path, path_node, tree.child_visit.shape[1] - 1)
+        child_visit = tree.child_visit.at[bar[:, None], path_rows].add(upd_rows)
         tree = tree._replace(child_visit=child_visit, overflow=overflow)
 
         # Leaf environment + terminal discovery.

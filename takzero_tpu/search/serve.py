@@ -176,8 +176,13 @@ def make_serve_chunk(
             cont = active & ~unexp & ~clip_now
             stopped = new_known | new_leaf | clip_now
 
-            child_visit = st["child_visit"].at[bar, curc, slot].add(
-                active.astype(jnp.int32)
+            # Row-level one-hot add: the elementwise [B,K]-indexed
+            # scatter-add lowering scales linearly with pool size M
+            # (the pool-size cost cliff — see core.py forward, tools/
+            # scatter_variants.py); row-indexed scatters are M-flat.
+            # Inactive lanes already route to the scratch row (zero add).
+            child_visit = st["child_visit"].at[bar, curc].add(
+                (active[:, :, None] & oh).astype(jnp.int32)
             )
 
             return dict(
