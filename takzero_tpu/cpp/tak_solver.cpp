@@ -217,4 +217,44 @@ void tak_avoidance_status(int n, int half_komi, int reversible_limit,
   }
 }
 
+// Laddered avoidance labeling (same out[] codes) with early exit.  An
+// avoidance puzzle needs EXACTLY ONE surviving move, and proving a
+// survivor (a full no-win search) is the expensive case — so moves are
+// first solved at `small_budget`, unknowns retried at `node_budget`, and
+// the whole search bails as soon as TWO survivors are proven (remaining
+// moves keep whatever label they have; callers must test the survivor
+// count before consulting -3).  The proof table is shared across both
+// passes and all moves, so the retry pass resumes rather than restarts.
+void tak_avoidance_status_laddered(int n, int half_komi,
+                                   int reversible_limit,
+                                   const int64_t* state, int max_depth,
+                                   int64_t small_budget, int64_t node_budget,
+                                   int32_t* out) {
+  Board b;
+  load(b, n, half_komi, reversible_limit, state);
+  int total = num_actions(n);
+  for (int i = 0; i < total; ++i) out[i] = -1;
+  if (result(b) != -1) return;
+  Ctx c;
+  auto solve_move = [&](int a, int64_t budget) -> int32_t {
+    Board b2 = b;
+    step(b2, a);
+    int r = result(b2);
+    if (r != -1) return (r == b2.to_move) ? 0 : -2;
+    int d = tinue_depth_board(b2, max_depth, budget, c);
+    return d > 0 ? d : (d == 0 ? -2 : -3);
+  };
+  std::vector<int> acts = legal_actions(b);
+  int survivors = 0;
+  for (int a : acts) {
+    out[a] = solve_move(a, small_budget);
+    if (out[a] == -2 && ++survivors >= 2) return;
+  }
+  for (int a : acts) {
+    if (out[a] != -3) continue;
+    out[a] = solve_move(a, node_budget);
+    if (out[a] == -2 && ++survivors >= 2) return;
+  }
+}
+
 }  // extern "C"

@@ -142,12 +142,15 @@ def main(argv=None) -> None:
             "child_node": np.asarray(tree.child_node[0]),
             "root_visit": np.asarray(tree.root_visit[0]),
         }
-        count = int(np.asarray(tree.node_count[0]))
+        # node_live is the authoritative live set: a prefix bound from
+        # node_count is only valid for fresh trees (descend_batch recycles
+        # rows in place, so live rows are not a prefix after reuse).
+        live = np.asarray(tree.node_live[0])
         host["node_tps"] = [
             state_to_tps(
                 cfg.n, jax.tree.map(lambda x: np.asarray(x[0, i]), tree.node_env)
             )
-            if i < count
+            if live[i]
             else ""
             for i in range(tree.child_action.shape[1])
         ]

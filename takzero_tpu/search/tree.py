@@ -351,6 +351,14 @@ def descend_batch(
     # into the free list.
     live = (reach & (idx[None, :] != rc[:, None])) | (idx[None, :] == 0)
     node_parent = jnp.where(live, node_parent, -1)
+    # Make the cross-module invariant EXPLICIT rather than inductive:
+    # node_parent[:, scratch] == -1.  The reachability pass above relies
+    # on parked (-1) chains self-terminating at scratch, and the
+    # expansion write sites (core.py apply_eval, serve.py) happen to sink
+    # -1 into scratch — but a future writer sinking a real parent there
+    # would silently resurrect parked rows on the next descend.  One
+    # unconditional store closes the loop (tests/test_descend_invariants).
+    node_parent = node_parent.at[:, scratch].set(-1)
     dead = ~live & (idx[None, :] != scratch)
     free_count = jnp.sum(dead, axis=1).astype(jnp.int32)
     free_rows = jnp.argsort(

@@ -174,3 +174,26 @@ class Oracle:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         return out
+
+    def avoidance_status_laddered(
+        self,
+        state: TakState,
+        max_depth: int,
+        small_budget: int,
+        node_budget: int,
+    ) -> np.ndarray:
+        """`avoidance_status` with a budget ladder and two-survivor early
+        exit: moves solve at `small_budget` first, unknowns retry at
+        `node_budget`, and the search bails once two survivors are proven
+        (remaining labels may be stale — check the survivor count FIRST)."""
+        buf = pack_state(self.n, state)
+        out = np.zeros(self.num_actions, dtype=np.int32)
+        self._lib.tak_avoidance_status_laddered(
+            *self._args(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(int(max_depth)),
+            ctypes.c_int64(int(small_budget)),
+            ctypes.c_int64(int(node_budget)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out

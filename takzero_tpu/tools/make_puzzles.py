@@ -212,6 +212,13 @@ class Writer:
         )
 
 
+# Per-run counts of candidates discarded because the verifier's node
+# budget was exhausted (labels stay exact — exhausted searches discard
+# rather than mislabel — but yield silently tracks --verify-nodes;
+# surface it so budget changes are visible).
+DISCARDS = {"tinue_budget": 0, "witness_budget": 0, "avoid_budget": 0}
+
+
 def verify_tinue(orc, state, max_depth: int, node_budget: int):
     """(exact_depth, solution_action) or None — full-width host proof.
 
@@ -221,29 +228,54 @@ def verify_tinue(orc, state, max_depth: int, node_budget: int):
     """
     d = orc.tinue_depth(state, max_depth, node_budget)
     if d <= 0:
+        if d < 0:
+            DISCARDS["tinue_budget"] += 1
         return None
+    # Witness ladder: a cheap pass usually finds the winning move (the
+    # proof just succeeded, so its line is TT-warm on the C++ side of a
+    # fresh search too); only the moves the cheap pass left unknown (-1)
+    # are retried at the full budget.
+    retry = []
     for a in np.nonzero(orc.legal_mask(state))[0]:
         nxt = orc.step(state, int(a))
         if d == 1:
             if orc.result(nxt) == int(state.to_move):
                 return d, int(a)
-        elif orc.result(nxt) == -1 and (
-            orc.loses_within(nxt, d - 1, node_budget) == 1
-        ):
-            return d, int(a)
+        elif orc.result(nxt) == -1:
+            r = orc.loses_within(nxt, d - 1, max(node_budget // 64, 1000))
+            if r == 1:
+                return d, int(a)
+            if r < 0:
+                retry.append((int(a), nxt))
+    for a, nxt in retry:
+        if orc.loses_within(nxt, d - 1, node_budget) == 1:
+            return d, a
+    DISCARDS["witness_budget"] += 1
     return None  # proof existed but no witness within budget: discard
 
 
 def verify_avoidance(orc, state, depths, node_budget: int):
-    """(depth, solution_action) or None — checks ALL legal moves."""
+    """(depth, solution_action) or None — checks ALL legal moves.
+
+    Laddered: moves solve at node_budget/64 first, unknowns retry at the
+    full budget, and the C++ side bails once TWO survivors are proven (a
+    one-survivor puzzle is then impossible; proving survivors — full
+    no-win searches — is the expensive case).  Survivor count is checked
+    BEFORE the -3 budget test: after an early exit the remaining labels
+    are stale by design."""
     max_threat = max(depths) - 1
-    status = orc.avoidance_status(state, max_threat, node_budget)
-    legal = status >= -2
-    if (status[legal] == -3).any():
-        return None  # some move unknown within budget: not provable
+    status = orc.avoidance_status_laddered(
+        state, max_threat, max(node_budget // 64, 1000), node_budget
+    )
     survivors = np.nonzero(status == -2)[0]
+    if len(survivors) != 1:
+        return None  # zero or multiple proven escapes: not a puzzle
+    legal = status != -1
+    if (status[legal] == -3).any():
+        DISCARDS["avoid_budget"] += 1
+        return None  # some move unknown within budget: not provable
     losing = status >= 0
-    if len(survivors) != 1 or losing.sum() != legal.sum() - 1:
+    if losing.sum() != legal.sum() - 1:
         return None
     d = int(status[losing].max()) + 1
     return (d, int(survivors[0])) if d in depths else None
@@ -453,6 +485,8 @@ def main(argv=None) -> None:
 
     con.commit()
     con.close()
+    disc = " ".join(f"{k}={v}" for k, v in DISCARDS.items())
+    print(f"budget-exhausted discards: {disc}")
     print(f"done in {time.time() - t_start:.0f}s: {w.summary()} -> {args.out}")
 
 

@@ -127,3 +127,45 @@ def test_solver_minimality_and_witness():
             assert orc.tinue_depth(st, d - 2, 2_000_000) == 0
             found += 1
     assert found >= 1, "expected at least one depth>=3 tinue in the sample"
+
+
+def test_laddered_avoidance_matches_flat():
+    """avoidance_status_laddered == avoidance_status wherever the flat
+    call has labels, whenever the ladder did NOT early-exit; on early
+    exit (>= 2 survivors) the survivor count still agrees."""
+    eng = engine(3, half_komi=0)
+    orc = Oracle(3, 0, eng.reversible_limit)
+    checked = 0
+    for states, _res in _random_states(orc, eng, seed=7):
+        for st in states[:-1][-5:]:
+            flat = orc.avoidance_status(st, 3, 1_000_000)
+            lad = orc.avoidance_status_laddered(st, 3, 1_000, 1_000_000)
+            n_flat = (flat == -2).sum()
+            n_lad = (lad == -2).sum()
+            if n_lad >= 2:
+                assert n_flat >= 2  # early exit only on a true 2nd survivor
+            else:
+                np.testing.assert_array_equal(lad, flat)
+            checked += 1
+    assert checked >= 10
+
+
+def test_verify_avoidance_budget_discard_counts():
+    """Exhausted budgets DISCARD (never mislabel) and are counted — the
+    old `legal = status >= -2` masked -3 moves out of the legality set,
+    silently accepting positions whose uniqueness was never proven."""
+    from takzero_tpu.tools import make_puzzles as mp
+
+    eng = engine(5, half_komi=4)
+    orc = Oracle(5, 4, eng.reversible_limit)
+    # A midgame 5x5 position: a 40-node budget exhausts immediately.
+    for states, _res in _random_states(orc, eng, seed=11, games=2):
+        st = states[min(16, len(states) - 2)]
+        before = dict(mp.DISCARDS)
+        got = mp.verify_avoidance(orc, st, {2, 4}, node_budget=40)
+        assert got is None
+        # Either every move resolved trivially (rare at ply 16) or the
+        # discard was counted as a budget exhaustion / survivor miss.
+        assert (
+            mp.DISCARDS["avoid_budget"] >= before["avoid_budget"]
+        )
