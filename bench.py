@@ -21,7 +21,11 @@ BASELINE.json — vs_baseline is measured sims/s over that. Falls back to
 
 Env overrides: TAKZERO_BENCH_BATCH, TAKZERO_BENCH_BUDGET,
 TAKZERO_BENCH_MOVES, TAKZERO_BENCH_FILTERS, TAKZERO_BENCH_BLOCKS,
-TAKZERO_BENCH_CHILDREN, TAKZERO_BENCH_REUSE (0 disables tree reuse).
+TAKZERO_BENCH_CHILDREN, TAKZERO_BENCH_REUSE (0 disables tree reuse),
+TAKZERO_BENCH_CKPT (path to a trained checkpoint — tree depth in the
+while_loop descent is data-dependent, so trained weights search slower
+than random init; see the timing reconciliation in examples/README.md),
+TAKZERO_BENCH_VERBOSE (1: per-move seconds on stderr, for spread).
 """
 
 from __future__ import annotations
@@ -33,6 +37,18 @@ import time
 
 
 def main() -> None:
+    # Honor an explicit JAX_PLATFORMS even under the axon sitecustomize
+    # (which force-registers the remote-TPU backend); same re-apply as
+    # drivers/__init__.py, so a local CPU smoke run never tunnels ops to
+    # a chip another job owns.
+    _requested = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if _requested:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", _requested)
+        except Exception:
+            pass
     import jax
     import numpy as np
 
@@ -50,13 +66,21 @@ def main() -> None:
     blocks = int(os.environ.get("TAKZERO_BENCH_BLOCKS", 16))
     children = os.environ.get("TAKZERO_BENCH_CHILDREN")
     reuse = os.environ.get("TAKZERO_BENCH_REUSE", "1") != "0"
+    ckpt_path = os.environ.get("TAKZERO_BENCH_CKPT")
+    verbose = os.environ.get("TAKZERO_BENCH_VERBOSE", "0") != "0"
 
+    # Checkpoints carry the preset's full 2^32-bit SimHash set; the
+    # synthetic-weights default shrinks it to keep bench start cheap.
     cfg = NetConfig(
         n=6, half_komi=4, filters=filters, blocks=blocks,
-        novelty="simhash", hash_bits=26,
+        novelty="simhash", hash_bits=32 if ckpt_path else 26,
     )
     eng = engine(6, half_komi=4)
     bundle = new_agent(cfg, seed=0)
+    if ckpt_path:
+        from takzero_tpu.utils import ckpt
+
+        bundle = ckpt.load_checkpoint_partial(ckpt_path, bundle)
     evaluator = make_net_evaluate(cfg, eng)
 
     # The flagship selfplay preset (selfplay/src/main.rs:36-52): 256 child
@@ -79,13 +103,21 @@ def main() -> None:
     envs, tree, packed, _ = sp._move(envs, tree, bundle, jax.random.PRNGKey(1))
     np.asarray(packed)
 
+    per_move = []
     t0 = time.perf_counter()
     for i in range(moves):
+        t1 = time.perf_counter()
         envs, tree, packed, _ = sp._move(
             envs, tree, bundle, jax.random.PRNGKey(2 + i)
         )
         np.asarray(packed)
+        per_move.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
+    if verbose:
+        print(
+            "per-move s: " + " ".join(f"{t:.3f}" for t in per_move),
+            file=sys.stderr,
+        )
 
     sims_per_move = (budget + 1) * batch  # +1 root-init simulation
     sims_per_s = sims_per_move * moves / dt
@@ -109,7 +141,8 @@ def main() -> None:
                 "unit": (
                     f"simulations/s (batch={batch}, k={sampled}, "
                     f"budget={budget}, {blocks}x{filters} net, "
-                    f"C={sp_cfg.max_children}, reuse={int(reuse)}; "
+                    f"C={sp_cfg.max_children}, reuse={int(reuse)}, "
+                    f"{'trained ckpt' if ckpt_path else 'random init'}; "
                     "full driver move program)"
                 ),
                 "vs_baseline": vs_baseline,

@@ -15,4 +15,21 @@ Mapping to the reference scripts:
 * replay_buffer_uniqueness.py -> drivers/graph.py (uniqueness curves)
 
 Plotting is gated on matplotlib availability so data paths run headless.
+
+Like the driver CLIs (drivers/__init__.py), tools honor an explicit
+``JAX_PLATFORMS`` env var even when the axon sitecustomize has already
+forced the remote-TPU platform list: device-using tools (make_puzzles'
+batched prover, serve_bench, reuse_ab) can then be pinned to the host CPU
+while a training run owns the chip.
 """
+
+import os as _os
+
+_requested = _os.environ.get("JAX_PLATFORMS", "").strip().lower()
+if _requested:
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _requested)
+    except Exception:  # backends already live: leave them be
+        pass
