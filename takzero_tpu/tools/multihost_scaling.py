@@ -1,0 +1,167 @@
+"""Virtual-device scaling sanity check for the multihost learn path.
+
+Real 1→N-host scaling needs N hosts (BASELINE.md's ≥80% north star is
+untestable on this one-chip rig), but gross *serialization* bugs in the
+multihost path — e.g. the coordinator's broadcast tail-reads
+(parallel/multihost.py broadcast_lines) degenerating to per-line or
+per-process round-trips — are visible on a virtual CPU mesh: with the
+GLOBAL batch fixed, per-step wall-clock across 1x1 / 2x1 / 2x2 / 2x4
+(processes x devices-per-process) configurations must not regress
+superlinearly versus the oversubscription factor (all processes share
+one physical core here, so P processes cost ~P×; a broadcast-read
+serialization bug costs 10×+ and is what this guards).
+
+Each configuration launches the REAL ``drivers/multihost.py`` →
+``drivers/learn.py`` chain on a pre-generated target file and reports the
+median of the driver's own "chunk of N flushed: X steps/s end-to-end"
+lines (first chunk skipped: compile).
+
+    python -m takzero_tpu.tools.multihost_scaling --out scaling.json
+        [--configs 1x1,2x1,2x2,2x4] [--global-batch 32] [--steps 60]
+
+Reference anchor: the reference scales by launching many single-GPU
+processes over a shared filesystem (/root/reference/README.md:128-135);
+this guards the TPU-native replacement (SURVEY.md §2.5 row 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import re
+import socket
+import subprocess
+import sys
+import tempfile
+
+_CHUNK_RE = re.compile(r"chunk of (\d+) flushed: ([\d.]+) steps/s")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def make_targets(directory: pathlib.Path, n_targets: int, seed: int) -> None:
+    """Write a tiny3 targets-selfplay.txt for the learner to tail."""
+    import numpy as np
+
+    from ..tak import engine
+    from ..train.data import random_pretraining_targets
+
+    eng = engine(3, half_komi=0)
+    rng = np.random.default_rng(seed)
+    targets = random_pretraining_targets(eng, n_targets, rng)
+    path = directory / "targets-selfplay.txt"
+    path.write_text("".join(t.to_line() + "\n" for t in targets))
+
+
+def run_config(procs: int, devs: int, shared_targets: pathlib.Path,
+               global_batch: int, steps: int, chunk_steps: int,
+               timeout: float) -> dict:
+    """One (processes x devices/process) run; returns steps/s stats."""
+    run_dir = pathlib.Path(tempfile.mkdtemp(prefix=f"mhs_{procs}x{devs}_"))
+    (run_dir / "targets-selfplay.txt").write_bytes(
+        shared_targets.read_bytes()
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
+    env["JAX_PLATFORMS"] = "cpu"  # drivers/__init__ re-applies via jax.config
+    repo = str(pathlib.Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
+    driver_args = [
+        "--directory", str(run_dir), "--net", "tiny3",
+        "--batch-size", str(global_batch), "--max-steps", str(steps),
+        "--no-wait", "--pretrain-steps", "0",
+        "--chunk-steps", str(chunk_steps),
+    ]
+    if procs == 1:
+        # Single process: not multihost mode, so the dp mesh needs an
+        # explicit --devices (drivers/__init__ then grows the CPU pool);
+        # multi-process runs auto-detect the global device count instead
+        # (an explicit flag would fight XLA_FLAGS' per-process pool).
+        driver_args += ["--devices", str(devs)]
+    ps = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "takzero_tpu.drivers.multihost",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(procs), "--process-id", str(pid),
+                "learn", "--",
+            ]
+            + driver_args,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for pid in range(procs)
+    ]
+    try:
+        outs = [p.communicate(timeout=timeout)[0] for p in ps]
+    finally:
+        for p in ps:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(ps, outs):
+        if p.returncode:
+            raise RuntimeError(
+                f"{procs}x{devs} process failed:\n{out[-3000:]}"
+            )
+    rates = [float(m.group(2)) for m in _CHUNK_RE.finditer(outs[0])]
+    if len(rates) < 2:
+        raise RuntimeError(
+            f"{procs}x{devs}: wanted ≥2 chunk lines, got {len(rates)}:\n"
+            + outs[0][-3000:]
+        )
+    warm = sorted(rates[1:])  # first chunk is compile
+    return {
+        "processes": procs,
+        "devices_per_process": devs,
+        "global_devices": procs * devs,
+        "chunks": len(rates),
+        "steps_per_s_median": warm[len(warm) // 2],
+        "steps_per_s_all": rates,
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--configs", default="1x1,2x1,2x2,2x4",
+                        help="comma list of PROCSxDEVS")
+    parser.add_argument("--global-batch", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=60)
+    parser.add_argument("--chunk-steps", type=int, default=10)
+    parser.add_argument("--targets", type=int, default=2048)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--timeout", type=float, default=1800.0)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    shared = pathlib.Path(tempfile.mkdtemp(prefix="mhs_targets_"))
+    make_targets(shared, args.targets, args.seed)
+    results = []
+    for spec in args.configs.split(","):
+        procs, devs = (int(x) for x in spec.strip().split("x"))
+        r = run_config(
+            procs, devs, shared / "targets-selfplay.txt",
+            args.global_batch, args.steps, args.chunk_steps, args.timeout,
+        )
+        print(
+            f"{procs}x{devs}: median {r['steps_per_s_median']:.1f} steps/s "
+            f"(chunks: {['%.1f' % x for x in r['steps_per_s_all']]})",
+            flush=True,
+        )
+        results.append(r)
+    base = results[0]["steps_per_s_median"]
+    for r in results[1:]:
+        r["vs_first"] = round(r["steps_per_s_median"] / base, 3)
+    if args.out:
+        pathlib.Path(args.out).write_text(json.dumps(results, indent=1))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
