@@ -260,6 +260,22 @@ def main(argv=None) -> None:
         )
         re_positions = PositionBuffer(rng)
         re_oracle = Oracle(net_cfg.n, net_cfg.half_komi)
+        if steps > 0:
+            # Crash/restart resume: the reference reanalyze re-tails
+            # replays.txt from offset 0 (SURVEY.md §7 L7); reseed the
+            # in-process position store from the tail of the shared file
+            # so the 64+64 mix doesn't starve for ~min_positions moves.
+            import pathlib
+
+            rp = pathlib.Path(args.directory) / co.REPLAYS
+            if rp.exists():
+                lines = rp.read_text().splitlines()[-600:]
+                if lines:
+                    re_positions.extend(explode_replays(eng, lines))
+                    log.info(
+                        "reseeded %d reanalyze positions from %d stored "
+                        "replays", len(re_positions), len(lines),
+                    )
     saver = ckpt.AsyncSaver()
     moves = 0
     trained_lines: list = []
