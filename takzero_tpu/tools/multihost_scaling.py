@@ -12,9 +12,9 @@ one physical core here, so P processes cost ~P×; a broadcast-read
 serialization bug costs 10×+ and is what this guards).
 
 Each configuration launches the REAL ``drivers/multihost.py`` →
-``drivers/learn.py`` chain on a pre-generated target file and reports the
-median of the driver's own "chunk of N flushed: X steps/s end-to-end"
-lines (first chunk skipped: compile).
+``drivers/learn.py`` chain on a pre-generated target file and reports
+total-steps/total-time over the driver's own "chunk of N flushed:
+X steps/s end-to-end" lines (first chunk skipped: compile).
 
     python -m takzero_tpu.tools.multihost_scaling --out scaling.json
         [--configs 1x1,2x1,2x2,2x4] [--global-batch 32] [--steps 60]
@@ -110,20 +110,28 @@ def run_config(procs: int, devs: int, shared_targets: pathlib.Path,
             raise RuntimeError(
                 f"{procs}x{devs} process failed:\n{out[-3000:]}"
             )
-    rates = [float(m.group(2)) for m in _CHUNK_RE.finditer(outs[0])]
-    if len(rates) < 2:
+    chunks = [
+        (int(m.group(1)), float(m.group(2)))
+        for m in _CHUNK_RE.finditer(outs[0])
+    ]
+    if len(chunks) < 2:
         raise RuntimeError(
-            f"{procs}x{devs}: wanted ≥2 chunk lines, got {len(rates)}:\n"
+            f"{procs}x{devs}: wanted ≥2 chunk lines, got {len(chunks)}:\n"
             + outs[0][-3000:]
         )
-    warm = sorted(rates[1:])  # first chunk is compile
+    # Aggregate warm chunks by TOTAL steps / TOTAL time (n/rate per
+    # chunk): a 1-step boundary chunk's rate is dominated by fixed
+    # overhead and would wreck a plain median.
+    warm = chunks[1:]  # first chunk is compile
+    total_steps = sum(n for n, _ in warm)
+    total_time = sum(n / r for n, r in warm if r > 0)
     return {
         "processes": procs,
         "devices_per_process": devs,
         "global_devices": procs * devs,
-        "chunks": len(rates),
-        "steps_per_s_median": warm[len(warm) // 2],
-        "steps_per_s_all": rates,
+        "chunks": len(chunks),
+        "steps_per_s": round(total_steps / total_time, 2),
+        "steps_per_s_all": [r for _, r in chunks],
     }
 
 
@@ -150,14 +158,14 @@ def main(argv=None) -> None:
             args.global_batch, args.steps, args.chunk_steps, args.timeout,
         )
         print(
-            f"{procs}x{devs}: median {r['steps_per_s_median']:.1f} steps/s "
+            f"{procs}x{devs}: {r['steps_per_s']:.1f} steps/s "
             f"(chunks: {['%.1f' % x for x in r['steps_per_s_all']]})",
             flush=True,
         )
         results.append(r)
-    base = results[0]["steps_per_s_median"]
+    base = results[0]["steps_per_s"]
     for r in results[1:]:
-        r["vs_first"] = round(r["steps_per_s_median"] / base, 3)
+        r["vs_first"] = round(r["steps_per_s"] / base, 3)
     if args.out:
         pathlib.Path(args.out).write_text(json.dumps(results, indent=1))
     print(json.dumps(results))
