@@ -28,7 +28,7 @@ from ..models.agent import make_net_evaluate, new_agent
 from ..search.openings import make_new_opening
 from ..tak import engine, tps_to_state
 from ..train.data import stack_states
-from ..utils import ckpt
+from ..utils import ckpt, watchdog
 
 log = logging.getLogger("evaluation")
 _NUMBERED = re.compile(r"model_(\d+)\.ckpt$")
@@ -66,6 +66,21 @@ def main(argv=None) -> None:
     parser.add_argument("--rounds", type=int, default=None, help="for tests")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument(
+        "--pair",
+        default=None,
+        metavar="A.ckpt,B.ckpt",
+        help="play exactly this checkpoint pair (both colors) and exit — "
+        "lets a supervisor (tools/elo_curve.py) bound each subprocess's "
+        "lifetime so the remote-backend RSS leak cannot accumulate "
+        "(round-4 oom postmortem in utils/watchdog.py)",
+    )
+    parser.add_argument(
+        "--rss-limit-gb",
+        type=float,
+        default=48.0,
+        help="hard-exit (code 42) when host RSS exceeds this; 0 disables",
+    )
+    parser.add_argument(
         "--fresh-tree", action="store_true",
         help="disable cross-move tree reuse for both agents",
     )
@@ -80,6 +95,7 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    watchdog.start_rss_watchdog(args.rss_limit_gb)
 
     net_cfg = NET_PRESETS[args.net]
     eng = engine(net_cfg.n, half_komi=net_cfg.half_komi)
@@ -99,21 +115,29 @@ def main(argv=None) -> None:
     template = new_agent(net_cfg, seed=0)
 
     rounds = 0
-    while args.rounds is None or rounds < args.rounds:
+    max_rounds = 1 if args.pair else args.rounds
+    while max_rounds is None or rounds < max_rounds:
         rounds += 1
-        paths = scan_checkpoints(args.model_path, args.step)
-        if len(paths) < 2:
-            if args.rounds is not None:
-                log.info("too few models (%d), stopping", len(paths))
-                return
-            log.info("too few models, sleeping 600s")
-            time.sleep(600)
-            continue
-        pa, pb = (paths[i] for i in rng.choice(len(paths), 2, replace=False))
+        if args.pair:
+            na, nb = args.pair.split(",")
+            pa = pathlib.Path(args.model_path) / na
+            pb = pathlib.Path(args.model_path) / nb
+        else:
+            paths = scan_checkpoints(args.model_path, args.step)
+            if len(paths) < 2:
+                if max_rounds is not None:
+                    log.info("too few models (%d), stopping", len(paths))
+                    return
+                log.info("too few models, sleeping 600s")
+                time.sleep(600)
+                continue
+            pa, pb = (paths[i] for i in rng.choice(len(paths), 2, replace=False))
         try:
             a = ckpt.load_checkpoint_partial(pa, template)
             b = ckpt.load_checkpoint_partial(pb, template)
         except Exception as e:
+            if args.pair:
+                raise  # supervisor must see a nonzero exit, not silence
             log.warning("cannot load %s/%s: %s", pa, pb, e)
             continue
 

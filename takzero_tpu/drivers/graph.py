@@ -107,6 +107,11 @@ def main(argv=None) -> None:
     parser.add_argument("--positions", type=int, default=10_000_000)
     parser.add_argument("--point-rate", type=int, default=250_000)
     parser.add_argument("--out", default="graph.html")
+    parser.add_argument("--png", default=None,
+                        help="also render a matplotlib figure (the "
+                        "figures/replay_buffer_uniqueness.png analog)")
+    parser.add_argument("--csv", default=None,
+                        help="also write name,positions,unique_fraction rows")
     args = parser.parse_args(argv)
 
     curves = {}
@@ -122,6 +127,18 @@ def main(argv=None) -> None:
         print("]")
     render_html(curves, args.out)
     print(f"wrote {args.out}")
+    if args.csv:
+        with open(args.csv, "w", encoding="utf-8") as f:
+            f.write("run,positions,unique_fraction\n")
+            for name, pts in curves.items():
+                for x, y in pts:
+                    f.write(f"{name},{int(x)},{y:.6f}\n")
+        print(f"wrote {args.csv}")
+    if args.png:
+        from ..tools.plots import plot_uniqueness
+
+        plot_uniqueness(curves, args.png)
+        print(f"wrote {args.png}")
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ import argparse
 import sqlite3
 
 
-def merge(out_path: str, src_paths: list[str]) -> dict:
+def merge(out_path: str, src_paths: list[str],
+          default_size: int | None = None) -> dict:
     con = sqlite3.connect(out_path)
     con.execute(
         "CREATE TABLE IF NOT EXISTS games (id INTEGER PRIMARY KEY,"
@@ -46,13 +47,22 @@ def merge(out_path: str, src_paths: list[str]) -> dict:
             if tps in seen:
                 skipped += 1
                 continue
+            size = games.get(gid, default_size)
+            if size is None:
+                # A NULL size would silently hide the row from every
+                # consumer (drivers/puzzle.py and the reference both
+                # filter on games.size = ?) — skip loudly instead.
+                print(f"WARNING: {src} puzzle game_id={gid} has no games"
+                      " row and no --size fallback; skipping")
+                skipped += 1
+                continue
             seen.add(tps)
             new_gid = base + gid
             if new_gid not in used_games:
                 used_games.add(new_gid)
                 con.execute(
                     "INSERT INTO games VALUES (?, ?)",
-                    (new_gid, games.get(gid)),
+                    (new_gid, size),
                 )
             con.execute(
                 "INSERT INTO puzzles VALUES (?, ?, ?, ?, ?, ?, ?)",
@@ -74,9 +84,12 @@ def merge(out_path: str, src_paths: list[str]) -> dict:
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", required=True)
+    parser.add_argument("--size", type=int, default=None,
+                        help="board size for puzzles whose source games"
+                        " row is missing (otherwise skipped, warned)")
     parser.add_argument("sources", nargs="+")
     args = parser.parse_args(argv)
-    print(merge(args.out, args.sources))
+    print(merge(args.out, args.sources, args.size))
 
 
 if __name__ == "__main__":

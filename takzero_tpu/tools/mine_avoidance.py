@@ -13,9 +13,13 @@ DEPTH-MATCHED ladder, cheapest first:
   1-ply search, thousands of candidates/hour on one core;
 * depth 4: threat depth 3; * depth 6: threat depth 5 (gated on demand).
 
-Verification is exact and identical to make_puzzles.verify_avoidance
-(laddered budgets, two-survivor early exit, budget-exhaustion discards).
-Writes the reference schema to --out; merge into a combined DB with
+The depth-matched ladders are GATES only: every hit is re-verified with
+the full ``make_puzzles.verify_avoidance(.., {2, 4, 6}, ..)`` ladder
+(max_threat 5) before writing, so mined rows carry exactly the same
+invariant as make_puzzles' — the unique survivor is proven safe against
+threat-5 tinue, not merely against the gate's shallower threat (the
+round-4 rows proved a2 survivors only vs mate-in-1; ADVICE r4).  Writes
+the reference schema to --out; merge into a combined DB with
 tools/merge_puzzles.
 
     python -m takzero_tpu.tools.mine_avoidance --out avoidance.db \
@@ -112,24 +116,39 @@ def main(argv=None) -> None:
             legal = st1 != -1
             s1 = int((st1 == -2).sum())
             losing1 = st1 >= 0
+
+            def confirm(budget):
+                # Full-strength verification (identical to make_puzzles):
+                # max_threat 5 ladder, unique survivor proven safe vs
+                # threat-5, all other moves' minimal losing depths exact.
+                nonlocal checked
+                checked += 1
+                got = verify_avoidance(orc, st, {2, 4, 6}, budget)
+                if got is not None and w.want("a", got[0]):
+                    w.add(g, tps, action_to_ptn(args.size, got[1]),
+                          "a", got[0])
+                    return True
+                return False
+
             if s1 == 0:
                 continue  # already lost: no avoidance exists
             if s1 == 1:
                 if (st1[legal] == -3).any():
                     DISCARDS["avoid_budget"] += 1
                     continue
+                if not losing1.any():
+                    continue  # sole legal move: forced, not a puzzle
                 d = int(st1[losing1].max()) + 1
                 if d == 2 and w.want("a", 2):
-                    sol = int(np.nonzero(st1 == -2)[0][0])
-                    w.add(g, tps, action_to_ptn(args.size, sol), "a", 2)
+                    confirm(budgets[6])
                 continue  # all-but-one lose in <=1: d is 2 regardless
             if w.want("a", 4) and s1 <= 6:
                 got = verify_avoidance(orc, st, {4}, budgets[4])
                 checked += 1
-                if got is not None:
-                    w.add(g, tps, action_to_ptn(args.size, got[1]), "a", 4)
+                if got is not None and confirm(budgets[6]):
                     continue
             if w.want("a", 6) and 2 <= s1 <= 4:
+                # {6} already runs the max_threat-5 ladder: full strength.
                 got = verify_avoidance(orc, st, {6}, budgets[6])
                 checked += 1
                 if got is not None:

@@ -83,6 +83,26 @@ def plot_eee(csv_path, out_path, window: int = 100) -> None:
     plt.close(fig)
 
 
+def plot_uniqueness(curves: dict, out_path) -> None:
+    """Replay-buffer uniqueness vs positions ({run: [(positions, frac)]}).
+
+    The figures/replay_buffer_uniqueness.png analog for drivers/graph.py
+    (Yaniv metric, graph/src/main.rs:45-96)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for name, pts in curves.items():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ax.plot(xs, ys, marker=".", label=name)
+    ax.set_xlabel("positions seen")
+    ax.set_ylabel("new-unique fraction per chunk")
+    ax.set_ylim(0, 1.02)
+    ax.grid(True)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+
+
 def plot_seen_ratio(pairs, out_path) -> None:
     """Unseen-ratio vs ply (reference python/novelty_per_depth.py)."""
     plt = _plt()
