@@ -65,6 +65,9 @@ def main(argv=None) -> None:
     p.add_argument("--max-ply", type=int, default=100)
     p.add_argument("--batch", type=int, default=65_536)
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--csv", default=None, help="write ply,unseen_ratio rows")
+    p.add_argument("--png", default=None,
+                   help="figures/local_novelty_per_depth.png analog")
 
     args = parser.parse_args(argv)
 
@@ -118,7 +121,18 @@ def main(argv=None) -> None:
 
         cfg = NET_PRESETS[args.net]
         bundle = ckpt.load_checkpoint(args.model, new_agent(cfg, seed=0))
-        run(bundle, cfg, max_ply=args.max_ply, batch=args.batch, seed=args.seed)
+        pairs = run(
+            bundle, cfg, max_ply=args.max_ply, batch=args.batch,
+            seed=args.seed,
+        )
+        if args.csv:
+            with open(args.csv, "w", encoding="utf-8") as f:
+                f.write("ply,unseen_ratio\n")
+                f.writelines(f"{p},{r}\n" for p, r in pairs)
+        if args.png:
+            from ..tools.plots import plot_seen_ratio
+
+            plot_seen_ratio(pairs, args.png)
 
 
 if __name__ == "__main__":
