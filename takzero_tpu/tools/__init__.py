@@ -14,6 +14,12 @@ Mapping to the reference scripts:
 * concat_out.py               -> tools/concat_out.py
 * replay_buffer_uniqueness.py -> drivers/graph.py (uniqueness curves)
 
+Beyond the reference's scripts: elo_curve.py (checkpoint-dir Elo
+pipeline), make_puzzles.py / mine_avoidance.py / merge_puzzles.py /
+audit_avoidance.py (puzzle-DB generation the reference keeps off-repo),
+anchor.py, reuse_ab.py, multihost_scaling.py, serve_bench.py and the
+op-level microbenches ({op,phase,pool}_cliff.py, scatter_variants.py).
+
 Plotting is gated on matplotlib availability so data paths run headless.
 
 Like the driver CLIs (drivers/__init__.py), tools honor an explicit
