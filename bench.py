@@ -22,10 +22,13 @@ BASELINE.json — vs_baseline is measured sims/s over that. Falls back to
 Env overrides: TAKZERO_BENCH_BATCH, TAKZERO_BENCH_BUDGET,
 TAKZERO_BENCH_MOVES, TAKZERO_BENCH_FILTERS, TAKZERO_BENCH_BLOCKS,
 TAKZERO_BENCH_CHILDREN, TAKZERO_BENCH_REUSE (0 disables tree reuse),
-TAKZERO_BENCH_CKPT (path to a trained checkpoint — tree depth in the
-while_loop descent is data-dependent, so trained weights search slower
-than random init; see the timing reconciliation in examples/README.md),
-TAKZERO_BENCH_VERBOSE (1: per-move seconds on stderr, for spread).
+TAKZERO_BENCH_CKPT (path to a trained checkpoint — descent depth is
+data-dependent, and trained weights search FASTER than random init:
+sharp priors concentrate descents and reach terminals/solver proofs at
+shallower depth, measured 30.4k vs 21.1k sims/s on v5e; the full
+reconciliation against the real driver's s/move is in
+examples/README.md), TAKZERO_BENCH_VERBOSE (1: per-move seconds on
+stderr, for spread).
 """
 
 from __future__ import annotations
