@@ -322,8 +322,8 @@ def main(argv=None) -> None:
     eng = engine(args.size, half_komi=args.half_komi)
     orc = Oracle(args.size, args.half_komi, eng.reversible_limit)
     rng = np.random.default_rng(args.seed)
-    tinue_depths = {int(x) for x in args.tinue_depths.split(",")}
-    avoidance_depths = {int(x) for x in args.avoidance_depths.split(",")}
+    tinue_depths = {int(x) for x in args.tinue_depths.split(",") if x}
+    avoidance_depths = {int(x) for x in args.avoidance_depths.split(",") if x}
     max_tinue = max(tinue_depths)
 
     con = sqlite3.connect(args.out)
